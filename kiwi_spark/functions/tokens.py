@@ -1,0 +1,53 @@
+"""Deterministic token counting.
+
+The reference counts o200k_base BPE tokens via js-tiktoken
+(packages/graph/src/chunking/semantic.ts:49-69, packages/ai/src/index.ts:264-270).
+``tiktoken`` is not available in this environment, so we substitute a
+deterministic, pure-Python approximation with the same *shape*: a GPT-style
+pre-tokenizer regex followed by a byte-length cost per piece (BPE yields
+roughly one token per ~4 UTF-8 bytes of word text). Token counts only drive
+chunk boundaries and the reported ``token_count`` column — they never affect
+extracted-text byte identity or the emitted triple set — so any stable,
+monotone counter preserves the reference's semantics. Pin: the counter is
+part of this repo, therefore identical across executors and runs.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+# GPT-2/o200k-style pre-tokenization: contractions, letter runs, digit runs
+# (BPE groups digits in threes), punctuation runs, whitespace runs.
+_PRETOKEN = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"|[^\W\d_]+"
+    r"|\d{1,3}"
+    r"|[^\w\s]+"
+    r"|\s+",
+    re.UNICODE,
+)
+
+
+def count_tokens_uncached(text: str) -> int:
+    """Approximate BPE token count; deterministic, O(len)."""
+    normalized = text.strip()
+    if not normalized:
+        return 0
+    total = 0
+    for match in _PRETOKEN.finditer(normalized):
+        piece = match.group(0)
+        if piece.isspace():
+            # whitespace mostly fuses into the following token; long runs cost
+            total += len(piece) // 8
+            continue
+        nbytes = len(piece.encode("utf-8"))
+        total += max(1, (nbytes + 3) // 4)
+    return total
+
+
+@lru_cache(maxsize=65536)
+def count_tokens(text: str) -> int:
+    """Memoized per executor, mirroring the reference's TokenCounter cache
+    (semantic.ts:49-69)."""
+    return count_tokens_uncached(text)

@@ -1,0 +1,117 @@
+"""Stages 2+3: text → units, and text → per-document graph.
+
+Both wrap the pure per-document kernel (functions.docproc — chunk → extract
+→ mergeGraphs → within-doc dedupe, the per-file part of the reference
+pipeline). Everything is per-url, so both stages are Arrow-batched
+mapInPandas with NO shuffle: a page's graph is computed where its text row
+lives, exactly the property that lets this scale linearly to 10^12 documents.
+
+The graph stage emits one row per url with nested arrays, then explodes into
+four flat outputs (explode is a narrow transformation — still no shuffle):
+    nodes_doc(entity_id, url, name, type, description, n_sources)
+    edges_doc(edge_id, url, src_id, dst_id, pred, description, strength, n_sources)
+    mentions(mention_id, entity_id, edge_id, unit_id, url, description, source_chunk_ids)
+    units(unit_id, url, unit_index, content, start_offset, end_offset, source_chunks)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.docproc import process_document
+
+UNITS_SCHEMA = (
+    "unit_id string, url string, unit_index int, content string, "
+    "start_offset long, end_offset long, "
+    "source_chunks array<struct<id:int, text:string, start_offset:long, end_offset:long>>"
+)
+
+_GRAPH_ROW_SCHEMA = (
+    "url string, "
+    "entities array<struct<entity_id:string, url:string, name:string, type:string, "
+    "description:string, n_sources:int>>, "
+    "edges array<struct<edge_id:string, url:string, src_id:string, dst_id:string, "
+    "pred:string, description:string, strength:double, n_sources:int>>, "
+    "mentions array<struct<mention_id:string, entity_id:string, edge_id:string, "
+    "unit_id:string, url:string, description:string, source_chunk_ids:array<int>>>"
+)
+
+
+def chunk_units(text_df: DataFrame) -> DataFrame:
+    """text → units table (the text_units analog, graph.ts:174-202)."""
+
+    def process(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for row in batch.itertuples(index=False):
+                if getattr(row, "error_code", None):
+                    continue
+                doc = process_document(row.url, row.text)
+                for unit in doc.units:
+                    rows.append(
+                        {
+                            "unit_id": unit["unit_id"],
+                            "url": unit["url"],
+                            "unit_index": unit["unit_index"],
+                            "content": unit["content"],
+                            "start_offset": unit["start_offset"],
+                            "end_offset": unit["end_offset"],
+                            "source_chunks": unit["source_chunks"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "unit_id", "url", "unit_index", "content",
+                    "start_offset", "end_offset", "source_chunks",
+                ],
+            )
+
+    return text_df.mapInPandas(process, schema=UNITS_SCHEMA)
+
+
+def build_graph(text_df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """text → (nodes_doc, edges_doc, mentions); one kernel invocation per url."""
+
+    def process(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for row in batch.itertuples(index=False):
+                if getattr(row, "error_code", None):
+                    continue
+                doc = process_document(row.url, row.text)
+                rows.append(
+                    {
+                        "url": doc.url,
+                        "entities": doc.entities,
+                        "edges": [
+                            {
+                                "edge_id": r["edge_id"],
+                                "url": r["url"],
+                                "src_id": r["src_id"],
+                                "dst_id": r["dst_id"],
+                                "pred": r["pred"],
+                                "description": r["description"],
+                                "strength": r["strength"],
+                                "n_sources": r["n_sources"],
+                            }
+                            for r in doc.relationships
+                        ],
+                        "mentions": doc.mentions,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["url", "entities", "edges", "mentions"])
+
+    graph_rows = text_df.mapInPandas(process, schema=_GRAPH_ROW_SCHEMA)
+
+    nodes_doc = graph_rows.select(
+        F.explode("entities").alias("e")
+    ).select("e.*")
+    edges_doc = graph_rows.select(F.explode("edges").alias("r")).select("r.*")
+    mentions = graph_rows.select(F.explode("mentions").alias("m")).select("m.*")
+    return nodes_doc, edges_doc, mentions

@@ -1,0 +1,322 @@
+"""Stage 4: cross-document entity linking + canonicalization.
+
+Two linking modes:
+
+* ``parity``  (default) — the reference's cross-file rule: entities merge iff
+  they share (type, compact name key) exactly (apps/worker/workflows/
+  process-file.ts:636-745; key SQL apps/worker/lib/sql.ts:16-22). Canonical
+  id = first by (active DESC, id ASC) ≡ min(entity_id) here (all rows active).
+
+* ``fuzzy`` — extends the reference's *within-file* matchers (dedupe.ts:
+  102-145) corpus-wide: suffix-stripped base, compact, acronym-variant and
+  PERSON first+last keys. Every matcher is an equality on a derivable key,
+  so blocking is lossless and needs NO pairwise verification:
+  N/B/C/P-key equality ⇔ the corresponding matcher fires; A-keys
+  (acronym) only link members to *acronym-shaped single-token* members —
+  exactly the asymmetric areAcronymVariants rule (dedupe.ts:69-84).
+
+Scale design (the part the reference's O(n²)/SQL approach cannot do):
+* per key-bucket we emit only STAR edges (member → bucket anchor), never
+  pairwise edges — a bucket of 10^8 head-entity mentions yields 10^8 edges,
+  not 10^16;
+* bucket anchors are computed with a salted two-phase min aggregation
+  (groupBy(key, salt) → groupBy(key)) so one hot key never lands on one
+  reducer;
+* transitive closure via iterative large-star/small-star connected
+  components over edge DataFrames (Kiveris et al., "Connected Components in
+  MapReduce and Beyond") — the north_rule algorithm.
+"""
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+SALT_BUCKETS = 64
+
+
+# --------------------------------------------------------------------------
+# connected components: large-star / small-star
+# --------------------------------------------------------------------------
+
+def _salted_min(df: DataFrame, group_col: str, value_col: str, out_col: str) -> DataFrame:
+    """Skew-proof min: two-phase aggregation with a random salt."""
+    return (
+        df.withColumn("_salt", (F.rand(seed=7) * SALT_BUCKETS).cast("int"))
+        .groupBy(group_col, "_salt")
+        .agg(F.min(value_col).alias("_pmin"))
+        .groupBy(group_col)
+        .agg(F.min("_pmin").alias(out_col))
+    )
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Orient u > v, drop self-loops, dedupe."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    b = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = _salted_min(b, "u", "v", "m").select(
+        "u", F.least("m", F.col("u")).alias("m")
+    )
+    return (
+        b.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    c = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = _salted_min(c, "u", "v", "m")
+    n = c.join(m, "u")
+    out = n.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        n.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """edges(u,v) → (id, component) where component = min id reachable.
+
+    Iterates large-star/small-star to fixpoint (checked via count + hash
+    checksum), localCheckpointing each round to cut lineage.
+    """
+    e = _canon(edges).localCheckpoint(eager=True)
+
+    def _signature(df: DataFrame) -> tuple:
+        row = df.select(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        e2 = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        sig = _signature(e2)
+        e = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # after convergence every edge points node → its component root
+    comp = _salted_min(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        "u",
+        "v",
+        "component",
+    ).select(
+        F.col("u").alias("id"),
+        F.least("component", F.col("u")).alias("component"),
+    )
+    return comp
+
+
+# --------------------------------------------------------------------------
+# blocking-key edge generation
+# --------------------------------------------------------------------------
+
+def _with_keys(nodes: DataFrame, fuzzy: bool) -> DataFrame:
+    """nodes(entity_id, name, type) → (entity_id, key, is_anchor_candidate).
+
+    Keys computed in an Arrow-vectorized pandas UDF over
+    kiwi_spark.functions.linking (no per-row Python).
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ..functions.linking import blocking_keys, compact_name_key, tokenize, is_acronym_token
+
+    if fuzzy:
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def keys_udf(names: pd.Series, types: pd.Series) -> pd.Series:
+            return pd.Series(
+                [blocking_keys(n, t) for n, t in zip(names, types)]
+            )
+
+        @F.pandas_udf("boolean")
+        def acr_udf(names: pd.Series) -> pd.Series:
+            return pd.Series([is_acronym_token(tokenize(n)) for n in names])
+
+        return (
+            nodes.select(
+                "entity_id",
+                F.explode(keys_udf("name", "type")).alias("key"),
+                acr_udf("name").alias("is_acr"),
+            )
+        )
+
+    @F.pandas_udf(StringType())
+    def compact_udf(names: pd.Series, types: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                (t + "\x00C:" + compact_name_key(n)) if compact_name_key(n) else None
+                for n, t in zip(names, types)
+            ]
+        )
+
+    return nodes.select(
+        "entity_id", compact_udf("name", "type").alias("key"), F.lit(True).alias("is_acr")
+    ).where(F.col("key").isNotNull())
+
+
+def blocking_edges(nodes: DataFrame, fuzzy: bool = False) -> DataFrame:
+    """Per key bucket emit star edges member→anchor.
+
+    For exact-equality keys (N/B/C/P and parity compact keys) the anchor is
+    the bucket min — key equality ⇔ duplicate, so the star is lossless.
+    For acronym keys (``A:``) the anchor must itself be an acronym-shaped
+    token (dedupe.ts:69-84); buckets without such a member emit nothing.
+    """
+    keyed = _with_keys(nodes, fuzzy)
+    is_acr_key = F.split_part(F.col("key"), F.lit("\x00"), F.lit(2)).startswith("A:")
+
+    exact = keyed.where(~is_acr_key)
+    exact_anchor = _salted_min(exact, "key", "entity_id", "anchor")
+    exact_edges = (
+        exact.join(exact_anchor, "key")
+        .where(F.col("entity_id") != F.col("anchor"))
+        .select(F.col("entity_id").alias("u"), F.col("anchor").alias("v"))
+    )
+    if not fuzzy:
+        return exact_edges
+
+    acr = keyed.where(is_acr_key)
+    acr_anchor = _salted_min(
+        acr.where(F.col("is_acr")), "key", "entity_id", "anchor"
+    )
+    acr_edges = (
+        acr.join(acr_anchor, "key")
+        .where(F.col("entity_id") != F.col("anchor"))
+        .select(F.col("entity_id").alias("u"), F.col("anchor").alias("v"))
+    )
+    return exact_edges.union(acr_edges)
+
+
+# --------------------------------------------------------------------------
+# canonicalization
+# --------------------------------------------------------------------------
+
+def entity_id_map(nodes_doc: DataFrame, mode: str = "parity") -> DataFrame:
+    """(entity_id → canonical_id); canonical = min entity_id per component
+    (≡ first_value(id ORDER BY active DESC, id ASC), process-file.ts:650-656)."""
+    edges = blocking_edges(
+        nodes_doc.select("entity_id", "name", "type"), fuzzy=(mode == "fuzzy")
+    )
+    comp = connected_components(edges)
+    return (
+        nodes_doc.select("entity_id")
+        .join(comp, nodes_doc["entity_id"] == comp["id"], "left")
+        .select(
+            nodes_doc["entity_id"],
+            F.coalesce("component", nodes_doc["entity_id"]).alias("canonical_id"),
+        )
+    )
+
+
+def canonicalize(
+    nodes_doc: DataFrame,
+    edges_doc: DataFrame,
+    mentions: DataFrame,
+    id_map: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Apply the id map: merge nodes, rewrite+dedupe edges, repoint mentions.
+
+    Reference semantics (process-file.ts): canonical row keeps its attrs;
+    sources repointed (n_sources summed); self-loops deleted (:749-753);
+    undirected pair dedupe keeps min-id row with max(rank) (:755-857).
+    """
+    nd = nodes_doc.join(id_map, "entity_id")
+    nodes = nd.groupBy("canonical_id").agg(
+        F.min_by(F.struct("name", "type", "description"), "entity_id").alias("attrs"),
+        F.sum("n_sources").alias("n_sources"),
+        F.count("*").alias("n_merged"),
+        F.countDistinct("url").alias("n_urls"),
+    ).select(
+        F.col("canonical_id").alias("entity_id"),
+        F.col("attrs.name").alias("name"),
+        F.col("attrs.type").alias("type"),
+        F.col("attrs.description").alias("description"),
+        "n_sources",
+        "n_merged",
+        "n_urls",
+    )
+
+    src_map = id_map.select(
+        F.col("entity_id").alias("src_id"), F.col("canonical_id").alias("src_c")
+    )
+    dst_map = id_map.select(
+        F.col("entity_id").alias("dst_id"), F.col("canonical_id").alias("dst_c")
+    )
+    er = (
+        edges_doc.join(src_map, "src_id")
+        .join(dst_map, "dst_id")
+        .where(F.col("src_c") != F.col("dst_c"))  # self-loop delete
+        .select(
+            "edge_id",
+            F.least("src_c", "dst_c").alias("src_id"),
+            F.greatest("src_c", "dst_c").alias("dst_id"),
+            "pred",
+            "description",
+            "strength",
+            "n_sources",
+        )
+    )
+    edges = er.groupBy("src_id", "dst_id").agg(
+        F.min("edge_id").alias("edge_id"),
+        F.min_by(F.struct("pred", "description"), "edge_id").alias("attrs"),
+        F.max("strength").alias("strength"),
+        F.sum("n_sources").alias("n_sources"),
+    ).select(
+        "edge_id",
+        "src_id",
+        "dst_id",
+        F.col("attrs.pred").alias("pred"),
+        F.col("attrs.description").alias("description"),
+        "strength",
+        "n_sources",
+    )
+
+    # repoint mentions: entity mentions via id_map, edge mentions via the
+    # (old edge_id → canonical edge_id) map derived from er
+    edge_id_map = er.join(
+        edges.select(F.col("edge_id").alias("canonical_edge_id"), "src_id", "dst_id"),
+        ["src_id", "dst_id"],
+    ).select("edge_id", "canonical_edge_id")
+
+    m_ent = (
+        mentions.where(F.col("entity_id").isNotNull())
+        .join(id_map, "entity_id")
+        .select(
+            "mention_id",
+            F.col("canonical_id").alias("entity_id"),
+            F.lit(None).cast("string").alias("edge_id"),
+            "unit_id",
+            "url",
+            "description",
+            "source_chunk_ids",
+        )
+    )
+    m_edge = (
+        mentions.where(F.col("edge_id").isNotNull())
+        .join(edge_id_map, "edge_id")
+        .select(
+            "mention_id",
+            F.lit(None).cast("string").alias("entity_id"),
+            F.col("canonical_edge_id").alias("edge_id"),
+            "unit_id",
+            "url",
+            "description",
+            "source_chunk_ids",
+        )
+    )
+    return nodes, edges, m_ent.unionByName(m_edge)

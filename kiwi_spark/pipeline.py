@@ -1,0 +1,132 @@
+"""The pipeline DAG driver: pages → text → units → raw_graph → nodes/edges/
+mentions, with per-stage snapshot checkpoints and resume.
+
+Stage list mirrors the reference's process-step state machine
+(packages/db/src/tables/graph.ts:27-38: preprocessing → chunking →
+extracting → deduplicating → saving), one Iceberg-shaped snapshot per stage
+(sources.catalog). ``run(resume=True)`` skips any stage whose table is
+already committed — restart-from-checkpoint per BASELINE.md.
+
+Shuffle budget of a full run (the 100 TB story):
+  extract_text   0 shuffles (mapInPandas over the scan)
+  units          0 shuffles (same)
+  raw_graph      0 shuffles (per-url kernel; nested row per url)
+  link           the only shuffles: key-bucket anchor aggs + CC iterations
+                 (each a groupBy on entity ids; salted two-phase for skew)
+  canonicalize   joins on entity_id/edge_id + one groupBy per output table
+  materialize    repartition by bucket (write clustering)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.build_graph import build_graph, chunk_units
+from .operators.extract_text import extract_text
+from .operators.link import canonicalize, entity_id_map
+from .operators.materialize import (
+    lineage_rows,
+    materialize_edges,
+    materialize_mentions,
+    materialize_nodes,
+)
+from .sources.catalog import Catalog
+
+STAGES = ["text", "units", "raw_graph", "id_map", "graph", "lineage"]
+
+
+@dataclass
+class PipelineResult:
+    warehouse: str
+    stages_run: list[str] = field(default_factory=list)
+    stages_skipped: list[str] = field(default_factory=list)
+    timings: dict = field(default_factory=dict)
+    counts: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    warehouse: str,
+    link_mode: str = "parity",
+    n_buckets: int = 32,
+    resume: bool = False,
+    collect_lineage: bool = True,
+) -> PipelineResult:
+    cat = Catalog(warehouse)
+    result = PipelineResult(warehouse=warehouse)
+    lineage_batches: list[DataFrame] = []
+
+    def stage(name: str, build, committed_tables: list[str]):
+        if resume and all(cat.exists(t) for t in committed_tables):
+            result.stages_skipped.append(name)
+            return
+        started = time.time()
+        build()
+        wall = time.time() - started
+        result.timings[name] = round(wall, 3)
+        result.stages_run.append(name)
+
+    # 1. text
+    stage("text", lambda: cat.commit(extract_text(pages), "text", stage="preprocessing"), ["text"])
+    text_df = cat.read(spark, "text").where(F.col("error_code").isNull())
+
+    # 2. units (the text_units analog — queryable evidence table)
+    stage("units", lambda: cat.commit(chunk_units(text_df), "units", stage="chunking"), ["units"])
+
+    # 3. per-document graph (extract + within-doc dedupe)
+    def _raw_graph():
+        nodes_doc, edges_doc, mentions = build_graph(text_df)
+        cat.commit(nodes_doc, "nodes_doc", stage="extracting")
+        cat.commit(edges_doc, "edges_doc", stage="extracting")
+        cat.commit(mentions, "mentions_doc", stage="extracting")
+
+    stage("raw_graph", _raw_graph, ["nodes_doc", "edges_doc", "mentions_doc"])
+
+    nodes_doc = cat.read(spark, "nodes_doc")
+    edges_doc = cat.read(spark, "edges_doc")
+    mentions_doc = cat.read(spark, "mentions_doc")
+
+    # 4. cross-document linking (blocking + connected components)
+    def _id_map():
+        cat.commit(entity_id_map(nodes_doc, mode=link_mode), "id_map", stage="deduplicating")
+
+    stage("id_map", _id_map, ["id_map"])
+    id_map = cat.read(spark, "id_map")
+
+    # 5. canonical graph + materialize
+    def _graph():
+        nodes, edges, mentions = canonicalize(nodes_doc, edges_doc, mentions_doc, id_map)
+        cat.commit(materialize_nodes(nodes, n_buckets), "nodes", stage="saving")
+        cat.commit(materialize_edges(edges, n_buckets), "edges", stage="saving")
+        cat.commit(materialize_mentions(mentions, n_buckets), "mentions", stage="saving")
+
+    stage("graph", _graph, ["nodes", "edges", "mentions"])
+
+    # 6. lineage/metrics
+    if collect_lineage:
+        def _lineage():
+            batches = lineage_batches or []
+            stage_of = {"text": "text", "nodes": "graph", "edges": "graph", "mentions": "graph"}
+            for table in ("text", "nodes", "edges", "mentions"):
+                batches.append(
+                    lineage_rows(
+                        cat.read(spark, table),
+                        table,
+                        result.timings.get(stage_of[table], 0.0),
+                    )
+                )
+            df = batches[0]
+            for extra in batches[1:]:
+                df = df.unionByName(extra)
+            cat.commit(df, "lineage", stage="metrics")
+
+        stage("lineage", _lineage, ["lineage"])
+
+    for table in ("nodes", "edges", "mentions"):
+        if cat.exists(table):
+            result.counts[table] = cat.read(spark, table).count()
+    return result

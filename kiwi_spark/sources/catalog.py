@@ -1,0 +1,104 @@
+"""Stage-table catalog: parquet tables with snapshot manifests.
+
+The design target is an Iceberg catalog (BASELINE.json: "resumable from
+Iceberg snapshot checkpoints"): every pipeline stage commits its output as an
+immutable snapshot, and resume means "start from the last committed stage".
+The sandbox has no Iceberg runtime jar, so this module implements the same
+contract on plain parquet:
+
+    <warehouse>/<table>/snap-<n>/   immutable parquet data
+    <warehouse>/<table>/MANIFEST.json  {current, snapshots[], stage, rows}
+
+Mapping to Iceberg in production: ``commit`` ≡ table.newAppend/replace
+snapshot commit; ``MANIFEST.json`` ≡ the catalog pointer; readers always go
+through the manifest so a half-written snap-<n> directory is never visible
+(write-then-flip, same isolation Iceberg gives via metadata swap).
+
+Everything is driver-side metadata only — data paths are read/written by
+Spark executors as ordinary parquet (predicate pushdown and column pruning
+fully apply).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+class Catalog:
+    def __init__(self, warehouse: str) -> None:
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table, "MANIFEST.json")
+
+    def _read_manifest(self, table: str) -> dict | None:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def current_snapshot(self, table: str) -> dict | None:
+        manifest = self._read_manifest(table)
+        if not manifest or manifest.get("current") is None:
+            return None
+        snap_id = manifest["current"]
+        return next(s for s in manifest["snapshots"] if s["id"] == snap_id)
+
+    def exists(self, table: str) -> bool:
+        return self.current_snapshot(table) is not None
+
+    def path(self, table: str) -> str:
+        snap = self.current_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        return os.path.join(self.warehouse, table, snap["dir"])
+
+    # -- commit / read -----------------------------------------------------
+    def commit(self, df, table: str, stage: str | None = None) -> dict:
+        """Write df as the next snapshot of `table`, then flip the manifest."""
+        manifest = self._read_manifest(table) or {"current": None, "snapshots": []}
+        next_id = (
+            max((s["id"] for s in manifest["snapshots"]), default=0) + 1
+        )
+        snap_dir = f"snap-{next_id:05d}"
+        out = os.path.join(self.warehouse, table, snap_dir)
+        started = time.time()
+        df.write.mode("overwrite").parquet(out)
+        snap = {
+            "id": next_id,
+            "dir": snap_dir,
+            "stage": stage or table,
+            "committed_at": time.time(),
+            "write_seconds": round(time.time() - started, 3),
+        }
+        manifest["snapshots"].append(snap)
+        manifest["current"] = next_id
+        tmp = self._manifest_path(table) + ".tmp"
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(tmp, self._manifest_path(table))  # atomic flip
+        return snap
+
+    def read(self, spark, table: str):
+        return spark.read.parquet(self.path(table))
+
+    def drop(self, table: str) -> None:
+        target = os.path.join(self.warehouse, table)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(
+            name
+            for name in os.listdir(self.warehouse)
+            if os.path.exists(self._manifest_path(name))
+        )

@@ -1,0 +1,93 @@
+"""Linking predicate + blocking tests (dedupe.test.ts fixture families,
+FIXTURES.md §3) and a property check that blocking keys are lossless with
+respect to the pairwise predicate."""
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kiwi_spark.functions.extract_grammar import ORG_WORDS
+from kiwi_spark.functions.linking import (
+    are_duplicates,
+    blocking_keys,
+    compact_name_key,
+    tokenize,
+    union_find_groups,
+)
+
+
+def test_dedupe_fixture_families():  # dedupe.test.ts:15-120
+    dup = [
+        ("APPLE", "APPLE INC", "ORGANIZATION"),
+        ("APPLE", "Apple Incorporated", "ORGANIZATION"),
+        ("IBM", "INTERNATIONAL BUSINESS MACHINES", "ORGANIZATION"),
+        ("OPEN AI", "OPENAI", "ORGANIZATION"),
+        ("JOHNSON & JOHNSON", "JOHNSON AND JOHNSON", "ORGANIZATION"),
+        ("ALICE MARIE SMITH", "ALICE SMITH", "PERSON"),
+        ("MÜLLER GMBH", "MULLER", "ORGANIZATION"),
+        ("MARCH 3, 2025", "MARCH 3 2025", "DATE"),  # normalized-equal
+    ]
+    for a, b, t in dup:
+        assert are_duplicates(a, t, b, t), (a, b)
+        assert are_duplicates(b, t, a, t), (b, a)
+
+    not_dup = [
+        ("ALICE SMITH", "ALICE JONES", "PERSON"),
+        ("MARCH 3, 2025", "MARCH 4, 2025", "DATE"),
+        ("FACT: RENT", "FACT: RENT LEVEL", "FACT"),
+    ]
+    for a, b, t in not_dup:
+        assert not are_duplicates(a, t, b, t), (a, b)
+    # cross-type never merges (dedupe.ts:103-105)
+    assert not are_duplicates("PARIS", "LOCATION", "PARIS", "PERSON")
+
+
+def test_tokenize_nfkd_and_amp():
+    assert tokenize("Müller GmbH") == ["MULLER", "GMBH"]
+    assert tokenize("Johnson & Johnson") == ["JOHNSON", "AND", "JOHNSON"]
+    assert tokenize("  A,\r\nB  ") == ["A", "B"]
+
+
+def test_compact_name_key():
+    assert compact_name_key("Johnson & Johnson") == "JOHNSONANDJOHNSON"
+    assert compact_name_key("Apple, Inc.") == "APPLEINC"
+
+
+def _random_name(rng: random.Random) -> str:
+    style = rng.randrange(5)
+    words = rng.sample(ORG_WORDS[:20], rng.randrange(1, 4))
+    name = " ".join(words)
+    if style == 1:
+        name += " " + rng.choice(["INC", "LLC", "GMBH", "CORP"])
+    elif style == 2:
+        name = "".join(words)
+    elif style == 3 and len(words) >= 2:
+        name = "".join(w[0] for w in words)
+    elif style == 4 and len(words) >= 2:
+        name = f"{words[0]} & {words[1]}"
+    return name
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_blocking_is_lossless(seed):
+    """Any pair satisfying are_duplicates shares ≥1 blocking key (and for
+    acronym pairs, one side is acronym-shaped — the star-edge invariant)."""
+    rng = random.Random(seed)
+    entities = [( _random_name(rng), "ORGANIZATION") for _ in range(12)]
+    entities += [("ALICE MARIE SMITH", "PERSON"), ("ALICE SMITH", "PERSON")]
+    for i in range(len(entities)):
+        for j in range(i + 1, len(entities)):
+            a, ta = entities[i]
+            b, tb = entities[j]
+            if are_duplicates(a, ta, b, tb):
+                ka = set(blocking_keys(a, ta))
+                kb = set(blocking_keys(b, tb))
+                assert ka & kb, (a, b, ka, kb)
+
+
+def test_union_find_matches_reference_order():
+    roots = union_find_groups([(0, 1), (2, 3), (1, 3)], 5)
+    assert roots[0] == roots[1] == roots[2] == roots[3]
+    assert roots[4] == 4
