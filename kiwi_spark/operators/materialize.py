@@ -100,7 +100,7 @@ def materialize_edges(edges: DataFrame, n_buckets: int = 32) -> DataFrame:
 
 def materialize_mentions(mentions: DataFrame, n_buckets: int = 32) -> DataFrame:
     return with_bucket(
-        mentions,
+        mentions.withColumn("embedding", embed_text("description")),
         "entity_id",
         n_buckets,
     ).repartition("bucket")

@@ -1,0 +1,384 @@
+"""Graph query operators — the read side (SURVEY.md §2.5, Q1-Q10).
+
+All semantics from packages/ai/src/tools/*; rank constants from
+tools/lib/search.ts:3-7. Everything is a declarative DataFrame plan:
+cosine similarity runs JVM-side (zip_with + aggregate inside whole-stage
+codegen); trigram similarity is the one Arrow-vectorized pandas UDF.
+Top-k is orderBy().limit() → Spark's TakeOrderedAndProject (no full sort);
+keyset cursors become pushed-down predicates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+from ..operators.materialize import EMBEDDING_DIM, hash_token
+
+# tools/lib/search.ts:3-7
+MIN_SEMANTIC_SCORE = 0.02
+MIN_KEYWORD_BOOST = 0.08
+KEYWORD_WEIGHT = 0.15
+EXACT_BOOST = 0.2
+PREFIX_BOOST = 0.1
+
+MAX_PATH_DEPTH = 5  # tools/relationship.ts:439
+
+
+def embed_query(text: str) -> list[float]:
+    """Driver-side twin of operators.materialize.embed_text."""
+    import numpy as np
+
+    vec = np.zeros(EMBEDDING_DIM, dtype=np.float64)
+    for token in (text or "").upper().split():
+        h = hash_token(token)
+        vec[h % EMBEDDING_DIM] += 1.0 if (h >> 7) % 2 == 0 else -1.0
+    norm = float(np.linalg.norm(vec))
+    if norm > 0:
+        vec /= norm
+    return [float(x) for x in vec]
+
+
+def cosine_to(query_vec: list[float], col: str = "embedding") -> Column:
+    """JVM-side cosine similarity against a constant query vector.
+
+    Both sides are L2-normalized, so cosine == dot product:
+    aggregate(zip_with(emb, q, (a,b) -> a*b), 0D, (acc,x) -> acc+x).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return F.aggregate(
+        F.zip_with(F.col(col).cast("array<double>"), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _trigrams(value: str) -> set[str]:
+    """pg_trgm-style trigrams: lowercase, pad with 2 leading + 1 trailing
+    space per word."""
+    out: set[str] = set()
+    for word in "".join(
+        ch if ch.isalnum() else " " for ch in (value or "").lower()
+    ).split():
+        padded = f"  {word} "
+        for i in range(len(padded) - 2):
+            out.add(padded[i : i + 3])
+    return out
+
+
+def make_trigram_udf(term: str):
+    term_grams = _trigrams(term)
+
+    @F.pandas_udf(DoubleType())
+    def trigram_sim(values: pd.Series) -> pd.Series:
+        def sim(v):
+            grams = _trigrams(v or "")
+            if not grams or not term_grams:
+                return 0.0
+            inter = len(grams & term_grams)
+            union = len(grams | term_grams)
+            return inter / union if union else 0.0
+
+        return values.map(sim)
+
+    return trigram_sim
+
+
+def hybrid_score(
+    query_text: str, text_col: str = "name", emb_col: str = "embedding"
+) -> Column:
+    """entity.ts:135-136 — semantic + weighted trigram + exact/prefix boosts."""
+    qvec = embed_query(query_text)
+    sem = F.greatest(F.lit(0.0), cosine_to(qvec, emb_col))
+    trg = make_trigram_udf(query_text)(F.col(text_col))
+    lower_q = query_text.lower()
+    exact = F.when(F.lower(F.col(text_col)) == lower_q, EXACT_BOOST).otherwise(0.0)
+    prefix = F.when(
+        (F.lower(F.col(text_col)) != lower_q)
+        & F.lower(F.col(text_col)).startswith(lower_q),
+        PREFIX_BOOST,
+    ).otherwise(0.0)
+    return sem + F.lit(KEYWORD_WEIGHT) * trg + exact + prefix
+
+
+def _keyset(df: DataFrame, cursor: tuple | None, score_col: str, id_col: str) -> DataFrame:
+    """Keyset pagination (tools/lib/search.ts:25-51): strictly after
+    (score DESC, id ASC)."""
+    if cursor is None:
+        return df
+    score, last_id = cursor
+    return df.where(
+        (F.col(score_col) < score)
+        | ((F.col(score_col) == score) & (F.col(id_col) > last_id))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q1 list_files — tools/file.ts:19-81
+# --------------------------------------------------------------------------
+
+def list_files(pages: DataFrame, name_filter: str | None = None, limit: int = 20,
+               cursor: str | None = None) -> DataFrame:
+    df = pages.select("url", "warc_ts", "lang")
+    if name_filter:
+        df = df.where(F.lower(F.col("url")).contains(name_filter.lower()))
+    if cursor:
+        df = df.where(F.col("url") > cursor)
+    return df.orderBy("url").limit(limit)
+
+
+# --------------------------------------------------------------------------
+# Q2/Q3 entity search / list — tools/entity.ts:104-274
+# --------------------------------------------------------------------------
+
+def search_entities(nodes: DataFrame, query_text: str, limit: int = 10,
+                    cursor: tuple | None = None) -> DataFrame:
+    score = hybrid_score(query_text, "name", "embedding")
+    trg = make_trigram_udf(query_text)(F.col("name"))
+    ranked = nodes.withColumn("score", score).withColumn("_kw", trg)
+    filtered = ranked.where(
+        (F.col("score") - F.lit(KEYWORD_WEIGHT) * F.col("_kw") >= MIN_SEMANTIC_SCORE)
+        | (F.lit(KEYWORD_WEIGHT) * F.col("_kw") >= MIN_KEYWORD_BOOST)
+    ).drop("_kw")
+    filtered = _keyset(filtered, cursor, "score", "entity_id")
+    return (
+        filtered.select("entity_id", "name", "type", "description", "n_sources", "score")
+        .orderBy(F.desc("score"), F.asc("entity_id"))
+        .limit(limit)
+    )
+
+
+def list_entities(nodes: DataFrame, limit: int = 50, cursor: str | None = None,
+                  urls: list[str] | None = None, mentions: DataFrame | None = None,
+                  units: DataFrame | None = None) -> DataFrame:
+    df = nodes
+    if urls and mentions is not None:
+        scoped = mentions.where(F.col("url").isin(urls)).select("entity_id").distinct()
+        df = df.join(scoped, "entity_id", "left_semi")  # EXISTS semi-join
+    if cursor:
+        df = df.where(F.col("entity_id") > cursor)
+    return (
+        df.select("entity_id", "name", "type", "description", "n_sources")
+        .orderBy("entity_id")
+        .limit(limit)
+    )
+
+
+def lookup_entity(nodes: DataFrame, name: str) -> DataFrame:
+    """Exact/alias lookup by normalized name (convenience entry point)."""
+    from ..functions.linking import compact_name_key
+
+    key = compact_name_key(name)
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def compact_udf(names: pd.Series) -> pd.Series:
+        return names.map(compact_name_key)
+
+    return nodes.where(compact_udf(F.col("name")) == key)
+
+
+# --------------------------------------------------------------------------
+# Q4/Q5 relationship search / get — tools/relationship.ts:128-319
+# --------------------------------------------------------------------------
+
+def _edges_with_names(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    src = nodes.select(
+        F.col("entity_id").alias("src_id"), F.col("name").alias("src_name")
+    )
+    dst = nodes.select(
+        F.col("entity_id").alias("dst_id"), F.col("name").alias("dst_name")
+    )
+    return edges.join(src, "src_id", "left").join(dst, "dst_id", "left")
+
+
+def search_relationships(edges: DataFrame, nodes: DataFrame, query_text: str,
+                         limit: int = 10, cursor: tuple | None = None) -> DataFrame:
+    df = _edges_with_names(edges, nodes)
+    trg = make_trigram_udf(query_text)
+    combined_kw = F.greatest(
+        trg(F.col("description")), trg(F.col("src_name")), trg(F.col("dst_name"))
+    )
+    qvec = embed_query(query_text)
+    sem = F.greatest(F.lit(0.0), cosine_to(qvec, "embedding"))
+    df = df.withColumn("score", sem + F.lit(KEYWORD_WEIGHT) * combined_kw)
+    df = df.where(
+        (F.col("score") - F.lit(KEYWORD_WEIGHT) * combined_kw >= MIN_SEMANTIC_SCORE)
+        | (F.lit(KEYWORD_WEIGHT) * combined_kw >= MIN_KEYWORD_BOOST)
+    )
+    df = _keyset(df, cursor, "score", "edge_id")
+    return (
+        df.select(
+            "edge_id", "src_id", "src_name", "dst_id", "dst_name", "pred",
+            "description", "strength", "score",
+        )
+        .orderBy(F.desc("score"), F.asc("edge_id"))
+        .limit(limit)
+    )
+
+
+def get_relationships(edges: DataFrame, nodes: DataFrame, entity_ids: list[str],
+                      limit: int = 50, cursor: str | None = None) -> DataFrame:
+    df = edges.where(
+        F.col("src_id").isin(entity_ids) | F.col("dst_id").isin(entity_ids)
+    )
+    if cursor:
+        df = df.where(F.col("edge_id") > cursor)
+    return (
+        _edges_with_names(df, nodes)
+        .select("edge_id", "src_id", "src_name", "dst_id", "dst_name", "pred",
+                "description", "strength", "n_sources")
+        .orderBy("edge_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 neighbours — tools/relationship.ts:327-398
+# --------------------------------------------------------------------------
+
+def get_entity_neighbours(edges: DataFrame, nodes: DataFrame, entity_id: str,
+                          limit: int = 50) -> DataFrame:
+    touching = edges.where(
+        (F.col("src_id") == entity_id) | (F.col("dst_id") == entity_id)
+    )
+    nbr = touching.select(
+        F.when(F.col("src_id") == entity_id, F.col("dst_id"))
+        .otherwise(F.col("src_id"))
+        .alias("entity_id"),
+        "edge_id",
+        "pred",
+        "strength",
+    )
+    return (
+        nbr.join(nodes.select("entity_id", "name", "type", "description"), "entity_id")
+        .orderBy("entity_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 shortest path — tools/relationship.ts:405-549 (BFS ≤5 hops, undirected)
+# --------------------------------------------------------------------------
+
+def get_path_between_entities(edges: DataFrame, src_id: str, dst_id: str,
+                              max_depth: int = MAX_PATH_DEPTH) -> list[str] | None:
+    """Iterative frontier BFS over edge DataFrames; one shortest path
+    reconstructed from per-level predecessor maps (driver holds only the
+    frontier predecessor rows, never the graph)."""
+    if src_id == dst_id:
+        return [src_id]
+    bidir = edges.select(
+        F.col("src_id").alias("u"), F.col("dst_id").alias("v")
+    ).union(edges.select(F.col("dst_id").alias("u"), F.col("src_id").alias("v")))
+
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(src_id,)], ["node"])
+    frontier = visited
+    levels: list[dict[str, str]] = []
+
+    for _ in range(max_depth):
+        step = (
+            bidir.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), F.col("u").alias("pred"))
+            .join(visited, "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("pred").alias("pred"))
+            .localCheckpoint(eager=True)
+        )
+        preds = {r["node"]: r["pred"] for r in step.collect()}
+        if not preds:
+            return None
+        levels.append(preds)
+        if dst_id in preds:
+            path = [dst_id]
+            for level in reversed(levels):
+                if path[-1] in level:
+                    path.append(level[path[-1]])
+            path = [p for p in path if p is not None]
+            return list(reversed(path))
+        frontier = step.select("node")
+        visited = visited.union(frontier).distinct().localCheckpoint(eager=True)
+    return None
+
+
+# --------------------------------------------------------------------------
+# Q8 sources — tools/source.ts:254-422
+# --------------------------------------------------------------------------
+
+def get_entity_sources(mentions: DataFrame, units: DataFrame, entity_ids: list[str],
+                       query_text: str | None = None, limit: int = 20) -> DataFrame:
+    df = mentions.where(F.col("entity_id").isin(entity_ids))
+    df = df.join(
+        units.select("unit_id", F.col("content").alias("unit_content")),
+        "unit_id",
+        "left",
+    )
+    if query_text:
+        score = hybrid_score(query_text, "description", "embedding")
+        return (
+            df.withColumn("score", score)
+            .select("mention_id", "entity_id", "unit_id", "url", "description",
+                    "source_chunk_ids", "score")
+            .orderBy(F.desc("score"), F.asc("mention_id"))
+            .limit(limit)
+        )
+    return (
+        df.select("mention_id", "entity_id", "unit_id", "url", "description",
+                  "source_chunk_ids")
+        .orderBy("mention_id")
+        .limit(limit)
+    )
+
+
+def get_relationship_sources(mentions: DataFrame, units: DataFrame,
+                             edge_ids: list[str], limit: int = 20) -> DataFrame:
+    return (
+        mentions.where(F.col("edge_id").isin(edge_ids))
+        .join(units.select("unit_id"), "unit_id", "left")
+        .select("mention_id", "edge_id", "unit_id", "url", "description",
+                "source_chunk_ids")
+        .orderBy("mention_id")
+        .limit(limit)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 similar sources — tools/source.ts:450-554 (kNN cosine, 3× over-fetch)
+# --------------------------------------------------------------------------
+
+def similar_sources(mentions: DataFrame, seed_mention_id: str, k: int = 5,
+                    exclude: list[str] | None = None) -> DataFrame:
+    seed = mentions.where(F.col("mention_id") == seed_mention_id).select(
+        "embedding"
+    ).first()
+    if seed is None:
+        return mentions.sparkSession.createDataFrame(
+            [], "mention_id string, url string, description string, distance double"
+        )
+    qvec = [float(x) for x in seed["embedding"]]
+    df = mentions.where(F.col("mention_id") != seed_mention_id)
+    if exclude:
+        df = df.where(~F.col("mention_id").isin(exclude))
+    return (
+        df.withColumn("distance", F.lit(1.0) - cosine_to(qvec, "embedding"))
+        .select("mention_id", "url", "description", "distance")
+        .orderBy(F.asc("distance"), F.asc("mention_id"))
+        .limit(3 * k)  # candidate over-fetch (source.ts:487)
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 source file metadata — tools/source.ts:650-716
+# --------------------------------------------------------------------------
+
+def get_source_file_metadata(mentions: DataFrame, pages_or_text: DataFrame,
+                             mention_ids: list[str]) -> DataFrame:
+    return (
+        mentions.where(F.col("mention_id").isin(mention_ids))
+        .select("mention_id", "url")
+        .join(pages_or_text.select("url", "warc_ts", "lang"), "url", "left")
+        .orderBy("mention_id")
+    )
