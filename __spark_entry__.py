@@ -1,38 +1,525 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction DAG on a synthesized
+Common-Crawl-style corpus; ``queries()`` exposes the engine's operator
+surface over the driver testdata tables; ``oracle_sql()`` provides the
+DuckDB twins (same column names; floats rounded identically on both sides).
+Queries without an oracle (hash-based LSH variants, the KG pipeline) are
+non-SQL-expressible and get the rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: the KG pipeline end-to-end (pages → canonical edge triples)
+# --------------------------------------------------------------------------
+
+def _kg_edges(spark: SparkSession, n_pages: int, link_mode: str = "parity") -> DataFrame:
+    from kiwi_spark.operators.build_graph import build_graph
+    from kiwi_spark.operators.extract_text import extract_text
+    from kiwi_spark.operators.link import canonicalize, entity_id_map
+    from kiwi_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, n_pages, seed=42, partitions=8)
+    text = extract_text(pages).where(F.col("error_code").isNull())
+    nodes_doc, edges_doc, mentions = build_graph(text)
+    nodes_doc = nodes_doc.localCheckpoint(eager=False)
+    edges_doc = edges_doc.localCheckpoint(eager=False)
+    mentions = mentions.localCheckpoint(eager=False)
+    id_map = entity_id_map(nodes_doc, mode=link_mode)
+    nodes, edges, _ = canonicalize(nodes_doc, edges_doc, mentions, id_map)
+    src = nodes.select(F.col("entity_id").alias("src_id"), F.col("name").alias("subj"))
+    dst = nodes.select(F.col("entity_id").alias("dst_id"), F.col("name").alias("obj"))
+    return (
+        edges.join(src, "src_id")
+        .join(dst, "dst_id")
+        .select("subj", F.col("pred"), "obj", F.round("strength", 2).alias("strength"))
+        .orderBy("subj", "pred", "obj")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize 80 web pages, extract text (byte-exact renderer),
+    chunk, extract triples, link entities (blocking + connected components),
+    return the canonical (subj, pred, obj, strength) set."""
+    return _kg_edges(spark, 80)
 
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kiwi_spark.operators import dedup, similarity, textstats
+    from kiwi_spark.streaming.events import windowed_counts_batch
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def q3_top_revenue_orders(spark, sf):
+        c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1995-03-15")
+        li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("l_orderkey", "o_orderpriority")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+
+    def q5_nation_volume(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .where(c["c_nationkey"] == s["s_nationkey"])
+            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .where(r["r_name"] == "EUROPE")
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+        )
+
+    def top_orders_per_customer(spark, sf):
+        from pyspark.sql.window import Window
+
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+            .orderBy("o_custkey", "rn")
+        )
+
+    def orders_with_returns_by_priority(spark, sf):
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+        return (
+            o.join(li.select("l_orderkey").distinct(),
+                   o["o_orderkey"] == F.col("l_orderkey"), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"))
+            .orderBy("o_orderpriority")
+        )
+
+    def brand_revenue(spark, sf):
+        p = _t(spark, sf, "part")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+            .orderBy("p_brand")
+        )
+
+    def events_hourly(spark, sf):
+        ev = _t(spark, sf, "events")
+        out = windowed_counts_batch(ev, window="1 hour")
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        ).orderBy("hour_start", "event_type")
+
+    def user_sessions(spark, sf):
+        from pyspark.sql.window import Window
+
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        secs = F.unix_seconds(F.col("ts").cast("timestamp"))
+        gap = secs - F.lag(secs).over(w)
+        flagged = ev.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        sessions = flagged.withColumn("session_seq", F.sum("new_session").over(w))
+        return (
+            sessions.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("user_id", "session_seq")
+        )
+
+    def dedup_exact_docs(spark, sf):
+        return dedup.exact_duplicates(_t(spark, sf, "documents")).orderBy("doc_id")
+
+    def dedup_ngram_jaccard_docs(spark, sf):
+        return dedup.ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), n=3, threshold=0.5
+        ).orderBy("doc_a", "doc_b")
+
+    def dedup_minhash_docs(spark, sf):  # hash-based: rows-only check
+        return dedup.minhash_lsh_pairs(
+            _t(spark, sf, "documents"), n=3, threshold=0.7
+        ).orderBy("doc_a", "doc_b")
+
+    def dedup_simhash_docs(spark, sf):  # hash-based: rows-only check
+        return dedup.simhash_pairs(
+            _t(spark, sf, "documents"), max_hamming=3
+        ).orderBy("doc_a", "doc_b")
+
+    def embedding_dups(spark, sf):  # LSH-based: rows-only check
+        return dedup.embedding_dup_pairs(
+            _t(spark, sf, "embeddings"), threshold=0.95
+        ).orderBy("doc_a", "doc_b")
+
+    def lang_id_docs(spark, sf):
+        return textstats.lang_id(_t(spark, sf, "documents")).orderBy("doc_id")
+
+    def text_quality_docs(spark, sf):
+        return textstats.text_quality(_t(spark, sf, "documents")).orderBy("doc_id")
+
+    def token_counts_docs(spark, sf):
+        return textstats.token_counts(_t(spark, sf, "documents")).orderBy("doc_id")
+
+    def doc_fingerprints(spark, sf):
+        return textstats.doc_fingerprints(_t(spark, sf, "documents")).orderBy("doc_id")
+
+    def similarity_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        return similarity.cosine_topk(emb, q, k=10)
+
+    def similarity_ivf(spark, sf):  # centroid-sampled ANN: rows-only check
+        emb = _t(spark, sf, "embeddings")
+        q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        assigned, cents = similarity.ivf_build(emb, n_cells=8)
+        return similarity.ivf_topk(assigned, cents, q, k=10, nprobe=4)
+
+    def kg_build_graph(spark, sf):  # full KG DAG: rows-only check
+        return _kg_edges(spark, 60)
+
+    def kg_build_graph_fuzzy(spark, sf):  # fuzzy cross-doc linking
+        return _kg_edges(spark, 60, link_mode="fuzzy")
+
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q5_nation_volume": q5_nation_volume,
+        "top_orders_per_customer": top_orders_per_customer,
+        "orders_with_returns_by_priority": orders_with_returns_by_priority,
+        "brand_revenue": brand_revenue,
+        "events_hourly": events_hourly,
+        "user_sessions": user_sessions,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
+        "dedup_minhash_docs": dedup_minhash_docs,
+        "dedup_simhash_docs": dedup_simhash_docs,
+        "embedding_dups": embedding_dups,
+        "lang_id_docs": lang_id_docs,
+        "text_quality_docs": text_quality_docs,
+        "token_counts_docs": token_counts_docs,
+        "doc_fingerprints": doc_fingerprints,
+        "similarity_topk": similarity_topk,
+        "similarity_ivf": similarity_ivf,
+        "kg_build_graph": kg_build_graph,
+        "kg_build_graph_fuzzy": kg_build_graph_fuzzy,
+    }
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_TOKS = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
+    " ' '), x -> x != '')"
+)
+_TOKS_UNI = (
+    "list_filter(string_split(trim(regexp_replace(lower(text),"
+    " '[^\\p{L}\\p{N}]+', ' ', 'g')), ' '), x -> x != '')"
+)
+_SHINGLES = (
+    "case when len(t) >= 3 then list_distinct([array_to_string(t[i:i+2], ' ')"
+    " for i in range(1, len(t)-1)]) else [array_to_string(t, ' ')] end"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kiwi_spark.operators.textstats import LANG_MARKERS, STOPWORDS_EN
+
+    def arr(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    lang_scores = ", ".join(
+        f"len(list_filter(t, x -> list_contains({arr(m)}, x))) AS s_{c}"
+        for c, m in LANG_MARKERS.items()
+    )
+    # deterministic argmax in the same fixed order as the Spark plan
+    lang_pick = "CASE WHEN cjk_ratio > 0.3 THEN 'zh' ELSE "
+    codes = sorted(LANG_MARKERS)
+    pick = "'und'"
+    best = "0"
+    for code in codes:
+        pick = f"CASE WHEN s_{code} > {best} THEN '{code}' ELSE {pick} END"
+        best = f"CASE WHEN s_{code} > {best} THEN s_{code} ELSE {best} END"
+    lang_pick += pick + " END"
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT l_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "q5_nation_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'EUROPE'
+            GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3 ORDER BY o_custkey, rn
+        """,
+        "orders_with_returns_by_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   event_type, count(*) AS n_events,
+                   round(round(sum(value), 6), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_sessions": """
+            WITH flagged AS (
+                SELECT user_id, value,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                                 OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session,
+                       ts, event_id
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+                SELECT user_id, value,
+                       CAST(sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS BIGINT) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM sessions GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
+        "dedup_exact_docs": """
+            WITH keyed AS (
+                SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+                FROM documents
+            ), groups AS (
+                SELECT norm, min(doc_id) AS canonical_id, count(*) AS group_size
+                FROM keyed GROUP BY norm
+            )
+            SELECT doc_id, canonical_id, group_size
+            FROM keyed JOIN groups USING (norm)
+            WHERE group_size >= 2 ORDER BY doc_id
+        """,
+        "dedup_ngram_jaccard_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), sh AS (
+                SELECT doc_id, {_SHINGLES} AS shingles FROM toks
+            ), sizes AS (
+                SELECT doc_id, len(shingles) AS n FROM sh
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS shingle FROM sh
+            ), inter AS (
+                SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS i
+                FROM ex l JOIN ex r USING (shingle)
+                WHERE l.doc_id < r.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "lang_id_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS_UNI} AS t,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g'))
+                                 * 1.0 / length(text)
+                            ELSE 0.0 END AS cjk_ratio
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, cjk_ratio, {lang_scores} FROM toks
+            )
+            SELECT doc_id, {lang_pick} AS lang_pred,
+                   round(cjk_ratio, 6) AS cjk_ratio
+            FROM scored ORDER BY doc_id
+        """,
+        "text_quality_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, text, {_TOKS_UNI} AS t FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                       len(t) AS n_words,
+                       CASE WHEN len(t) > 0 THEN
+                           list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)
+                       ELSE 0.0 END AS mwl,
+                       CASE WHEN len(t) > 0 THEN
+                           len(list_filter(t, x -> list_contains({arr(STOPWORDS_EN)}, x)))
+                           * 1.0 / len(t)
+                       ELSE 0.0 END AS stop_ratio,
+                       CASE WHEN len(t) > 0 THEN
+                           len(list_distinct(t)) * 1.0 / len(t)
+                       ELSE 0.0 END AS dratio,
+                       CASE WHEN length(text) > 0 THEN
+                           length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}]', '', 'g'))
+                           * 1.0 / length(text)
+                       ELSE 0.0 END AS aratio
+                FROM toks
+            )
+            SELECT doc_id, n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(dratio, 6) AS distinct_ratio,
+                   round(aratio, 6) AS alnum_ratio,
+                   round(CAST(
+                       (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END)
+                     + (CASE WHEN mwl BETWEEN 3 AND 12 THEN 0.25 ELSE 0 END)
+                     + (CASE WHEN dratio >= 0.1 THEN 0.25 ELSE 0 END)
+                     + (CASE WHEN aratio >= 0.6 THEN 0.25 ELSE 0 END) AS DOUBLE), 2)
+                   AS quality_score
+            FROM feats ORDER BY doc_id
+        """,
+        "token_counts_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, text, {_TOKS_UNI} AS t FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) > 0
+                        THEN len(string_split_regex(trim(text), '\\s+'))
+                        ELSE 0 END AS ws_tokens,
+                   list_sum(list_transform(t,
+                       x -> greatest(1, cast(ceil(strlen(x) / 4.0) AS BIGINT))))
+                   AS bpe_tokens_est
+            FROM toks ORDER BY doc_id
+        """,
+        "doc_fingerprints": """
+            WITH normed AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, norm, string_split(norm, ' ') AS t FROM normed
+            )
+            SELECT doc_id, md5(norm) AS md5_fingerprint,
+                   CASE WHEN len(t) >= 8 THEN
+                       list_aggregate([md5(array_to_string(t[i:i+7], ' '))
+                                       for i in range(1, len(t)-6)], 'min')
+                   ELSE md5(norm) END AS min_kgram_fingerprint
+            FROM toks ORDER BY doc_id
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                       list_sum([cast(e.embedding[i] AS DOUBLE) * cast(q.qe[i] AS DOUBLE)
+                                 for i in range(1, len(e.embedding)+1)])
+                       / (sqrt(list_sum([cast(e.embedding[i] AS DOUBLE)
+                                         * cast(e.embedding[i] AS DOUBLE)
+                                         for i in range(1, len(e.embedding)+1)]))
+                          * sqrt(list_sum([cast(q.qe[i] AS DOUBLE) * cast(q.qe[i] AS DOUBLE)
+                                           for i in range(1, len(q.qe)+1)]))),
+                       6) AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+    }

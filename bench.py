@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_wall", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "kg": {...}}
+
+The kg block reports the engine's own north-star number (triples/sec of the
+full pages→graph DAG on a synthesized corpus sized to the sf tier).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from kiwi_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_volume",
+    "top_orders_per_customer",
+    "events_hourly",
+    "user_sessions",
+    "dedup_minhash_docs",
+    "dedup_simhash_docs",
+    "lang_id_docs",
+    "text_quality_docs",
+    "doc_fingerprints",
+    "similarity_topk",
+]
+
+KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "400"))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = get_spark("kiwi-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        started = time.time()
+        n = fn(spark, sf_dir).count()
+        wall = time.time() - started
+        timings[name] = round(wall, 3)
+        total += wall
+        _ = n
+
+    # KG pipeline throughput (pages → canonical triples), counted end-to-end
+    kg_started = time.time()
+    edges = entrymod._kg_edges(spark, KG_PAGES)
+    n_triples = edges.count()
+    kg_wall = time.time() - kg_started
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg": {
+                    "pages": KG_PAGES,
+                    "triples": n_triples,
+                    "wall_seconds": round(kg_wall, 3),
+                    "triples_per_sec": round(n_triples / kg_wall, 2),
+                    "pages_per_sec": round(KG_PAGES / kg_wall, 2),
+                },
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
