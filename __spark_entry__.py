@@ -396,7 +396,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_docs": """
             WITH keyed AS (
-                SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+                SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
                 FROM documents
             ), groups AS (
                 SELECT norm, min(doc_id) AS canonical_id, count(*) AS group_size

@@ -34,13 +34,32 @@ def main() -> int:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--buckets", type=int, default=32)
+    parser.add_argument("--shuffle-partitions", type=int, default=None)
     args = parser.parse_args()
 
     if not args.input and not args.synthesize:
         parser.error("one of --input / --synthesize is required")
 
-    spark = SparkSession.builder.appName("kiwi-kg-pipeline").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("kiwi-kg-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
+    if args.shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    else:
+        # size the shuffle to the cluster unless the user pinned it
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(2 * spark.sparkContext.defaultParallelism),
+        )
 
     if args.input:
         pages = spark.read.parquet(os.path.join(args.input, "pages.parquet"))

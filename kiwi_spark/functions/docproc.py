@@ -83,6 +83,7 @@ def process_document(
     text: str,
     chunk_tokens: int = DEFAULT_SEMANTIC_CHUNK_SIZE,
     source_chunk_tokens: int = DEFAULT_SOURCE_CHUNK_TOKENS,
+    units_only: bool = False,
 ) -> DocGraph:
     doc = DocGraph(url=url)
     unit_spans = chunk_text_spans(text, chunk_tokens)
@@ -92,7 +93,7 @@ def process_document(
     for unit_index, (content, u_start, u_end) in enumerate(unit_spans):
         unit_id = stable_id(url, "u", unit_index)
         source_chunks = chunk_text_spans(content, source_chunk_tokens)
-        doc.units.append(
+        doc.units.append(  # noqa: the units row is built in both modes
             {
                 "unit_id": unit_id,
                 "url": url,
@@ -106,6 +107,8 @@ def process_document(
                 ],
             }
         )
+        if units_only:  # chunking stage needs no extraction
+            continue
 
         sentences: list[tuple[str, int, int]] = []
         cursor = 0
@@ -150,6 +153,9 @@ def process_document(
                     }
                 )
         unit_graphs.append((unit_id, entities, rels))
+
+    if units_only:
+        return doc
 
     # --- mergeGraphs across units (merge.ts) -------------------------------
     merged: dict[str, dict] = {}  # name::type → entity

@@ -29,6 +29,9 @@ UNITS_SCHEMA = (
 
 _GRAPH_ROW_SCHEMA = (
     "url string, "
+    "units array<struct<unit_id:string, url:string, unit_index:int, content:string, "
+    "start_offset:long, end_offset:long, "
+    "source_chunks:array<struct<id:int, text:string, start_offset:long, end_offset:long>>>>, "
     "entities array<struct<entity_id:string, url:string, name:string, type:string, "
     "description:string, n_sources:int>>, "
     "edges array<struct<edge_id:string, url:string, src_id:string, dst_id:string, "
@@ -38,43 +41,12 @@ _GRAPH_ROW_SCHEMA = (
 )
 
 
-def chunk_units(text_df: DataFrame) -> DataFrame:
-    """text → units table (the text_units analog, graph.ts:174-202)."""
+def graph_rows_df(text_df: DataFrame) -> DataFrame:
+    """text → one nested row per url: (url, units, entities, edges, mentions).
 
-    def process(batches):
-        import pandas as pd
-
-        for batch in batches:
-            rows = []
-            for row in batch.itertuples(index=False):
-                if getattr(row, "error_code", None):
-                    continue
-                doc = process_document(row.url, row.text)
-                for unit in doc.units:
-                    rows.append(
-                        {
-                            "unit_id": unit["unit_id"],
-                            "url": unit["url"],
-                            "unit_index": unit["unit_index"],
-                            "content": unit["content"],
-                            "start_offset": unit["start_offset"],
-                            "end_offset": unit["end_offset"],
-                            "source_chunks": unit["source_chunks"],
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "unit_id", "url", "unit_index", "content",
-                    "start_offset", "end_offset", "source_chunks",
-                ],
-            )
-
-    return text_df.mapInPandas(process, schema=UNITS_SCHEMA)
-
-
-def build_graph(text_df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """text → (nodes_doc, edges_doc, mentions); one kernel invocation per url."""
+    ONE kernel pass computes everything document-sharded (chunking,
+    extraction, within-doc dedupe) — this is the table to checkpoint; the
+    flat views below are column-pruned explodes of it."""
 
     def process(batches):
         import pandas as pd
@@ -88,6 +60,7 @@ def build_graph(text_df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
                 rows.append(
                     {
                         "url": doc.url,
+                        "units": doc.units,
                         "entities": doc.entities,
                         "edges": [
                             {
@@ -105,13 +78,26 @@ def build_graph(text_df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
                         "mentions": doc.mentions,
                     }
                 )
-            yield pd.DataFrame(rows, columns=["url", "entities", "edges", "mentions"])
+            yield pd.DataFrame(
+                rows, columns=["url", "units", "entities", "edges", "mentions"]
+            )
 
-    graph_rows = text_df.mapInPandas(process, schema=_GRAPH_ROW_SCHEMA)
+    return text_df.mapInPandas(process, schema=_GRAPH_ROW_SCHEMA)
 
-    nodes_doc = graph_rows.select(
-        F.explode("entities").alias("e")
-    ).select("e.*")
+
+def explode_units(graph_rows: DataFrame) -> DataFrame:
+    return graph_rows.select(F.explode("units").alias("u")).select("u.*")
+
+
+def explode_graph(graph_rows: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    nodes_doc = graph_rows.select(F.explode("entities").alias("e")).select("e.*")
     edges_doc = graph_rows.select(F.explode("edges").alias("r")).select("r.*")
     mentions = graph_rows.select(F.explode("mentions").alias("m")).select("m.*")
     return nodes_doc, edges_doc, mentions
+
+
+def build_graph(text_df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """text → (nodes_doc, edges_doc, mentions); one kernel invocation per url,
+    materialized once (localCheckpoint) so the three explodes don't re-run it."""
+    graph_rows = graph_rows_df(text_df).localCheckpoint(eager=False)
+    return explode_graph(graph_rows)

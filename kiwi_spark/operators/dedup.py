@@ -57,7 +57,9 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (doc_id, canonical_id, group_size) for docs in groups of ≥2.
     """
-    normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    # collapse first, trim last — trim() only strips spaces, so a trailing
+    # "\n" must be collapsed to " " before trimming
+    normalized = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     keyed = docs.select(F.col(id_col).alias("doc_id"), normalized.alias("norm"))
     groups = keyed.groupBy("norm").agg(
         F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
@@ -204,17 +206,23 @@ def _fnv1a64(data: bytes) -> int:
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over word tokens (vectorized numpy accumulate)."""
     out = []
+    shifts = np.arange(64, dtype=np.uint64)
+    bit_cache: dict[str, np.ndarray] = {}  # token → ±1 bit vector (vocab cache)
     for text in texts:
         tokens = [t for t in (text or "").lower().split() if t]
         if not tokens:
             out.append(0)
             continue
         acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
         for token in tokens:
-            h = np.uint64(_fnv1a64(token.encode("utf-8")))
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += np.where(bits == 1, 1, -1)
+            bits = bit_cache.get(token)
+            if bits is None:
+                h = np.uint64(_fnv1a64(token.encode("utf-8")))
+                bits = np.where(
+                    ((h >> shifts) & np.uint64(1)).astype(np.int64) == 1, 1, -1
+                )
+                bit_cache[token] = bits
+            acc += bits
         fp = 0
         for i in range(64):
             if acc[i] > 0:

@@ -64,11 +64,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
     m = _salted_min(b, "u", "v", "m").select(
         "u", F.least("m", F.col("u")).alias("m")
     )
+    # no distinct here — the _canon() between rounds dedupes once per round
     return (
         b.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -79,7 +79,8 @@ def _small_star(edges: DataFrame) -> DataFrame:
     out = n.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
         n.select(F.col("u"), F.col("m").alias("v"))
     )
-    return out.where(F.col("u") != F.col("v")).distinct()
+    # no distinct here — _canon() between rounds dedupes
+    return out.where(F.col("u") != F.col("v"))
 
 
 def connected_components(
@@ -99,7 +100,11 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev_sig = None
+    # compare against the previous round's edge set (including the input) so
+    # already-star-shaped inputs (exact-key blocking) converge in ONE round
+    prev_sig = _signature(e)
+    if prev_sig[0] == 0:
+        return e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     for _ in range(max_iterations):
         e2 = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
         sig = _signature(e2)
@@ -155,18 +160,19 @@ def _with_keys(nodes: DataFrame, fuzzy: bool) -> DataFrame:
             )
         )
 
-    @F.pandas_udf(StringType())
-    def compact_udf(names: pd.Series, types: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                (t + "\x00C:" + compact_name_key(n)) if compact_name_key(n) else None
-                for n, t in zip(names, types)
-            ]
+    # parity mode: the compact key (apps/worker/lib/sql.ts:16-22) is pure
+    # string algebra — upper(strip-non-alnum(&→AND)) — so it runs JVM-side
+    # inside whole-stage codegen; no Python workers in this stage at all.
+    compact = F.upper(
+        F.regexp_replace(
+            F.regexp_replace(F.col("name"), "&", " AND "), r"[^\p{L}\p{N}]+", ""
         )
-
+    )
     return nodes.select(
-        "entity_id", compact_udf("name", "type").alias("key"), F.lit(True).alias("is_acr")
-    ).where(F.col("key").isNotNull())
+        "entity_id",
+        F.concat(F.col("type"), F.lit("\x00C:"), compact).alias("key"),
+        F.lit(True).alias("is_acr"),
+    ).where(F.length(compact) > 0)
 
 
 def blocking_edges(nodes: DataFrame, fuzzy: bool = False) -> DataFrame:
@@ -177,7 +183,9 @@ def blocking_edges(nodes: DataFrame, fuzzy: bool = False) -> DataFrame:
     For acronym keys (``A:``) the anchor must itself be an acronym-shaped
     token (dedupe.ts:69-84); buckets without such a member emit nothing.
     """
-    keyed = _with_keys(nodes, fuzzy)
+    # materialize the keyed projection once — it feeds both the anchor agg
+    # and the star-edge join (and, in fuzzy mode, runs a pandas UDF)
+    keyed = _with_keys(nodes, fuzzy).localCheckpoint(eager=False)
     is_acr_key = F.split_part(F.col("key"), F.lit("\x00"), F.lit(2)).startswith("A:")
 
     exact = keyed.where(~is_acr_key)

@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators.build_graph import build_graph, chunk_units
+from .operators.build_graph import explode_graph, explode_units, graph_rows_df
 from .operators.extract_text import extract_text
 from .operators.link import canonicalize, entity_id_map
 from .operators.materialize import (
@@ -35,7 +35,7 @@ from .operators.materialize import (
 )
 from .sources.catalog import Catalog
 
-STAGES = ["text", "units", "raw_graph", "id_map", "graph", "lineage"]
+STAGES = ["text", "raw_graph", "units", "id_map", "graph", "lineage"]
 
 
 @dataclass
@@ -74,21 +74,25 @@ def run_pipeline(
     stage("text", lambda: cat.commit(extract_text(pages), "text", stage="preprocessing"), ["text"])
     text_df = cat.read(spark, "text").where(F.col("error_code").isNull())
 
-    # 2. units (the text_units analog — queryable evidence table)
-    stage("units", lambda: cat.commit(chunk_units(text_df), "units", stage="chunking"), ["units"])
+    # 2+3. per-document kernel: units + extraction + within-doc dedupe in ONE
+    # pass over text (chunking and extracting steps of the reference run
+    # back-to-back per file; fusing avoids re-chunking the corpus)
+    stage(
+        "raw_graph",
+        lambda: cat.commit(graph_rows_df(text_df), "raw_graph", stage="extracting"),
+        ["raw_graph"],
+    )
+    raw_graph = cat.read(spark, "raw_graph")
 
-    # 3. per-document graph (extract + within-doc dedupe)
-    def _raw_graph():
-        nodes_doc, edges_doc, mentions = build_graph(text_df)
-        cat.commit(nodes_doc, "nodes_doc", stage="extracting")
-        cat.commit(edges_doc, "edges_doc", stage="extracting")
-        cat.commit(mentions, "mentions_doc", stage="extracting")
+    # units view (the text_units analog — queryable evidence table); a
+    # column-pruned explode of raw_graph, not a second kernel pass
+    stage(
+        "units",
+        lambda: cat.commit(explode_units(raw_graph.select("units")), "units", stage="chunking"),
+        ["units"],
+    )
 
-    stage("raw_graph", _raw_graph, ["nodes_doc", "edges_doc", "mentions_doc"])
-
-    nodes_doc = cat.read(spark, "nodes_doc")
-    edges_doc = cat.read(spark, "edges_doc")
-    mentions_doc = cat.read(spark, "mentions_doc")
+    nodes_doc, edges_doc, mentions_doc = explode_graph(raw_graph)
 
     # 4. cross-document linking (blocking + connected components)
     def _id_map():

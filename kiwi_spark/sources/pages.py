@@ -348,7 +348,9 @@ def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None):
     (seed, index)), so this scales to any corpus size with zero driver data.
     """
     if partitions is None:
-        partitions = max(spark.sparkContext.defaultParallelism, 8)
+        # oversplit 4× so downstream stage files stay small enough that every
+        # core gets work even after parquet split packing
+        partitions = max(4 * spark.sparkContext.defaultParallelism, 8)
     base = spark.range(0, n, 1, partitions)
 
     def gen(batches):

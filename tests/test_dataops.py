@@ -32,7 +32,20 @@ def embeddings(spark):
 
 
 def test_exact_duplicates(spark, docs):
+    # the stock corpus has no exact dups — inject some (incl. a
+    # whitespace-only variant that must normalize equal)
+    base = docs.select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (100001, base.first()["text"]),
+            (100002, "  " + base.first()["text"].replace(" ", "   ") + " \n"),
+            (100003, "a unique singleton"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = base.unionByName(extra)
     dup = dedup.exact_duplicates(docs).collect()
+    assert dup, "injected duplicates not found"
     # verify against a driver-side recomputation
     rows = docs.select("doc_id", "text").collect()
     by_norm = {}
