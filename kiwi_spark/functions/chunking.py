@@ -139,8 +139,13 @@ def _chunk_recursive(text: str, max_tokens: int, level: int) -> list[str]:
     if len(parts) <= 1:
         return _chunk_recursive(normalized, max_tokens, level + 1)
 
+    # greedy packing with INCREMENTAL counts: our tokenizer never produces a
+    # piece spanning whitespace, so count(a + "\n\n" + b) == count(a) +
+    # count(b) exactly — no need to re-count the growing candidate (the
+    # reference re-encodes the candidate each step; same result, O(n²) cost)
     result: list[str] = []
     current = ""
+    current_n = 0
     for raw_part in parts:
         part = raw_part.strip()
         if not part:
@@ -153,18 +158,18 @@ def _chunk_recursive(text: str, max_tokens: int, level: int) -> list[str]:
             sub = raw_sub.strip()
             if not sub:
                 continue
+            sub_n = count_tokens(sub)
             if not current:
-                current = sub
+                current, current_n = sub, sub_n
                 continue
-            candidate = _join_parts(current, sub)
-            if count_tokens(candidate) <= max_tokens:
-                current = candidate
+            if current_n + sub_n <= max_tokens:
+                current = _join_parts(current, sub)
+                current_n += sub_n
                 continue
-            if current.strip():
-                result.append(current.strip())
-            current = sub
-    if current.strip():
-        result.append(current.strip())
+            result.append(current)
+            current, current_n = sub, sub_n
+    if current:
+        result.append(current)
 
     if not result:
         return _chunk_recursive(normalized, max_tokens, level + 1)
@@ -254,8 +259,31 @@ def _chunk_by_sentence_or_table(text: str, max_tokens: int) -> list[str]:
             if c
         ]
 
+    # incremental window count: chunk text joins segments with single
+    # whitespace separators (plus re-emitted table headers), so the token
+    # count of a window is the sum of per-segment counts + header counts —
+    # maintained incrementally instead of re-counting the window each step
+    seg_n = [count_tokens(seg.text) for seg in segments]
+    header_n: dict[int, int] = {}
+    for seg in segments:
+        if seg.kind == _TABLE_ROW and seg.table_header and seg.table_id not in header_n:
+            header_n[seg.table_id] = count_tokens(seg.table_header)
+
     chunks: list[str] = []
     start, end = -1, -1
+    run_n = 0
+    run_table_id = -1
+
+    def seg_delta(index: int, table_id: int) -> tuple[int, int]:
+        seg = segments[index]
+        if seg.kind == _TABLE_ROW:
+            extra = (
+                header_n.get(seg.table_id, 0)
+                if seg.table_header and seg.table_id != table_id
+                else 0
+            )
+            return seg_n[index] + extra, seg.table_id
+        return seg_n[index], -1
 
     def flush() -> None:
         nonlocal start, end
@@ -269,13 +297,17 @@ def _chunk_by_sentence_or_table(text: str, max_tokens: int) -> list[str]:
     for index in range(len(segments)):
         if start < 0:
             start, end = index, index + 1
+            run_n, run_table_id = seg_delta(index, -1)
             continue
-        candidate = _build_chunk_text(segments, start, index + 1)
-        if count_tokens(candidate) <= max_tokens:
+        delta, next_table_id = seg_delta(index, run_table_id)
+        if run_n + delta <= max_tokens:
             end = index + 1
+            run_n += delta
+            run_table_id = next_table_id
             continue
         flush()
         start, end = index, index + 1
+        run_n, run_table_id = seg_delta(index, -1)
     flush()
     return chunks
 

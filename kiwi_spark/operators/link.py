@@ -278,6 +278,7 @@ def canonicalize(
             "strength",
             "n_sources",
         )
+        .localCheckpoint(eager=False)  # feeds both edges agg and edge_id_map
     )
     edges = er.groupBy("src_id", "dst_id").agg(
         F.min("edge_id").alias("edge_id"),
