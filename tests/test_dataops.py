@@ -219,6 +219,58 @@ def test_streaming_batch_parity(spark, tmp_path):
     assert b == s and b
 
 
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: closed sessions emitted by the
+    stream must match the batch sessionizer's closed sessions."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kiwi_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        sessionize_stream,
+    )
+
+    stream_dir = tmp_path / "ev"
+    stream_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stream_dir / "part-0.parquet")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1000)  # one micro-batch
+        .parquet(str(stream_dir))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, timeout="none")
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("t_sessions").collect()
+    }
+
+    batch = sessionize(spark.read.parquet(str(stream_dir)), gap_minutes=30)
+    # the stream holds each user's LAST (still-open) session in state —
+    # compare the closed ones (batch session_seq starts at 1 via sum-over-flag)
+    last_seq = {
+        r["user_id"]: r["m"]
+        for r in batch.groupBy("user_id").agg(F.max("session_seq").alias("m")).collect()
+    }
+    expected = {
+        (r["user_id"], r["session_seq"] - 1): (r["n_events"], round(r["sum_value"], 4))
+        for r in batch.collect()
+        if r["session_seq"] != last_seq[r["user_id"]]
+    }
+    got_rounded = {k: (n, round(sv, 4)) for k, (n, sv) in got.items()}
+    assert got_rounded == expected
+    assert got, "no closed sessions emitted"
+
+
 def test_sessionize(spark):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
     sessions = sessionize(events, gap_minutes=30)
