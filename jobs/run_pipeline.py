@@ -47,7 +47,7 @@ def main() -> int:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         .config("spark.sql.files.openCostInBytes", "1m")
         .getOrCreate()
     )

@@ -55,7 +55,8 @@ def with_bucket(df: DataFrame, id_col: str, n_buckets: int = 32) -> DataFrame:
     )
 
 
-def lineage_rows(df: DataFrame, stage: str, wall_seconds: float) -> DataFrame:
+def lineage_rows(df: DataFrame, stage: str, wall_seconds: float,
+                 snapshot_id: int | None = None) -> DataFrame:
     """Per-partition lineage: computed over the stage output itself."""
     url_col = "url" if "url" in df.columns else None
     agg = [F.count("*").alias("row_count")]
@@ -73,6 +74,7 @@ def lineage_rows(df: DataFrame, stage: str, wall_seconds: float) -> DataFrame:
             "row_count",
             "url_count",
             F.lit(round(wall_seconds, 3)).alias("stage_wall_seconds"),
+            F.lit(snapshot_id).cast("long").alias("snapshot_id"),
             F.current_timestamp().alias("created_at"),
         )
     )

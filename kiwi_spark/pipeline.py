@@ -35,7 +35,7 @@ from .operators.materialize import (
 )
 from .sources.catalog import Catalog
 
-STAGES = ["text", "raw_graph", "units", "id_map", "graph", "lineage"]
+STAGES = ["text", "raw_graph", "views", "id_map", "graph", "lineage"]
 
 
 @dataclass
@@ -84,15 +84,21 @@ def run_pipeline(
     )
     raw_graph = cat.read(spark, "raw_graph")
 
-    # units view (the text_units analog — queryable evidence table); a
-    # column-pruned explode of raw_graph, not a second kernel pass
-    stage(
-        "units",
-        lambda: cat.commit(explode_units(raw_graph.select("units")), "units", stage="chunking"),
-        ["units"],
-    )
+    # flat views of the nested checkpoint, materialized ONCE (column-pruned
+    # explodes); every downstream stage reads these small flat tables
+    # instead of re-scanning the heavy nested table
+    def _views():
+        cat.commit(explode_units(raw_graph.select("units")), "units", stage="chunking")
+        n, e, m = explode_graph(raw_graph)
+        cat.commit(n, "nodes_doc", stage="extracting")
+        cat.commit(e, "edges_doc", stage="extracting")
+        cat.commit(m, "mentions_doc", stage="extracting")
 
-    nodes_doc, edges_doc, mentions_doc = explode_graph(raw_graph)
+    stage("views", _views, ["units", "nodes_doc", "edges_doc", "mentions_doc"])
+
+    nodes_doc = cat.read(spark, "nodes_doc")
+    edges_doc = cat.read(spark, "edges_doc")
+    mentions_doc = cat.read(spark, "mentions_doc")
 
     # 4. cross-document linking (blocking + connected components)
     def _id_map():
@@ -116,11 +122,13 @@ def run_pipeline(
             batches = lineage_batches or []
             stage_of = {"text": "text", "nodes": "graph", "edges": "graph", "mentions": "graph"}
             for table in ("text", "nodes", "edges", "mentions"):
+                snap = cat.current_snapshot(table)
                 batches.append(
                     lineage_rows(
                         cat.read(spark, table),
                         table,
                         result.timings.get(stage_of[table], 0.0),
+                        snapshot_id=snap["id"] if snap else None,
                     )
                 )
             df = batches[0]

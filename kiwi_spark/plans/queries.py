@@ -133,7 +133,13 @@ def list_files(pages: DataFrame, name_filter: str | None = None, limit: int = 20
 # --------------------------------------------------------------------------
 
 def search_entities(nodes: DataFrame, query_text: str, limit: int = 10,
-                    cursor: tuple | None = None) -> DataFrame:
+                    cursor: tuple | None = None,
+                    urls: list[str] | None = None,
+                    mentions: DataFrame | None = None) -> DataFrame:
+    if urls and mentions is not None:
+        # optional file scope via EXISTS over sources (entity.ts:64-76)
+        scoped = mentions.where(F.col("url").isin(urls)).select("entity_id").distinct()
+        nodes = nodes.join(scoped, "entity_id", "left_semi")
     score = hybrid_score(query_text, "name", "embedding")
     trg = make_trigram_udf(query_text)(F.col("name"))
     ranked = nodes.withColumn("score", score).withColumn("_kw", trg)

@@ -117,7 +117,7 @@ def test_resume_skips_committed_stages(spark, warehouse):
     pages = pages_df(spark, N_PAGES, seed=SEED, partitions=4)
     result = run_pipeline(spark, pages, warehouse, resume=True)
     assert result.stages_run == []
-    assert set(result.stages_skipped) >= {"text", "units", "raw_graph", "id_map", "graph"}
+    assert set(result.stages_skipped) >= {"text", "views", "raw_graph", "id_map", "graph"}
 
 
 def test_resume_recomputes_missing_tail(spark, warehouse, tmp_path):
