@@ -33,6 +33,15 @@ def _kg_edges(spark: SparkSession, n_pages: int, link_mode: str = "parity") -> D
     from kiwi_spark.operators.link import canonicalize, entity_id_map
     from kiwi_spark.sources.pages import pages_df
 
+    # right-size the shuffle for a small in-session run (the driver's
+    # session may carry the 200-partition default)
+    try:
+        current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if current > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+
     pages = pages_df(spark, n_pages, seed=42, partitions=8)
     text = extract_text(pages).where(F.col("error_code").isNull())
     nodes_doc, edges_doc, mentions = build_graph(text)

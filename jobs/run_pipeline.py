@@ -49,6 +49,7 @@ def main() -> int:
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.sql.autoBroadcastJoinThreshold", "128m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

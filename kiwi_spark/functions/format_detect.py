@@ -1,0 +1,91 @@
+"""Input format detection (SURVEY §2.1 S3).
+
+Port of the sniffing logic in packages/graph/src/loader/factory.ts:169
+(`detectGraphLoaderFileFormat`, html prefix check :487-488) + the
+extension/mime table of file-type.ts:32-168 (subset relevant to a crawl
+corpus). Priority: content sniff → declared mime → extension.
+"""
+
+from __future__ import annotations
+
+import json
+
+_MIME_MAP = {
+    "text/html": "html",
+    "application/xhtml+xml": "html",
+    "text/markdown": "markdown",
+    "text/plain": "text",
+    "application/pdf": "pdf",
+    "text/csv": "csv",
+    "application/json": "json",
+    "application/x-ndjson": "json",
+    "text/yaml": "yaml",
+    "application/yaml": "yaml",
+    "application/toml": "toml",
+    "message/rfc822": "email",
+    "text/calendar": "calendar",
+    "text/vcard": "vcard",
+    "image/png": "image",
+    "image/jpeg": "image",
+    "image/gif": "image",
+    "image/webp": "image",
+}
+
+_EXT_MAP = {
+    "html": "html", "htm": "html", "xhtml": "html",
+    "md": "markdown", "markdown": "markdown",
+    "txt": "text", "text": "text",
+    "pdf": "pdf", "csv": "csv", "tsv": "csv",
+    "json": "json", "jsonl": "json", "ndjson": "json",
+    "yaml": "yaml", "yml": "yaml", "toml": "toml",
+    "eml": "email", "ics": "calendar", "vcf": "vcard",
+    "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
+    "webp": "image",
+}
+
+_MAGIC = [
+    (b"%PDF-", "pdf"),
+    (b"\x89PNG\r\n\x1a\n", "image"),
+    (b"\xff\xd8\xff", "image"),
+    (b"GIF87a", "image"),
+    (b"GIF89a", "image"),
+    (b"RIFF", "image"),  # webp container
+]
+
+
+def detect_format(
+    content: bytes | None = None,
+    mime: str | None = None,
+    url: str | None = None,
+) -> str:
+    """Return the loader file-type for a document; default 'text'."""
+    if content:
+        head = content[:4096].lstrip()
+        for magic, fmt in _MAGIC:
+            if content.startswith(magic):
+                return fmt
+        lower = head[:64].lower()
+        # factory.ts:487-488 — html prefix sniff
+        if lower.startswith(b"<!doctype html") or lower.startswith(b"<html"):
+            return "html"
+        if lower.startswith(b"{") or lower.startswith(b"["):
+            try:
+                json.loads(head.decode("utf-8", errors="strict"))
+                return "json"
+            except (ValueError, UnicodeDecodeError):
+                pass
+        if lower.startswith(b"begin:vcalendar"):
+            return "calendar"
+        if lower.startswith(b"begin:vcard"):
+            return "vcard"
+    if mime:
+        base = mime.split(";")[0].strip().lower()
+        if base in _MIME_MAP:
+            return _MIME_MAP[base]
+    if url:
+        path = url.split("?")[0].split("#")[0]
+        if "." in path.rsplit("/", 1)[-1]:
+            ext = path.rsplit(".", 1)[-1].lower()
+            if ext in _EXT_MAP:
+                return _EXT_MAP[ext]
+    return "text"

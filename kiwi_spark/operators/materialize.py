@@ -27,13 +27,22 @@ EMBEDDING_DIM = 64
 
 @F.pandas_udf(ArrayType(FloatType()))
 def embed_text(texts: pd.Series) -> pd.Series:
-    """Deterministic hashing-TF embedding, L2-normalized (vectorized)."""
+    """Deterministic hashing-TF embedding, L2-normalized.
+
+    Token → (bucket, sign) is memoized per Arrow batch (corpus vocabularies
+    are tiny relative to row counts), so the hot loop is one dict hit +
+    one numpy add per token."""
     out = []
+    cache: dict[str, tuple[int, float]] = {}
     for text in texts:
         vec = np.zeros(EMBEDDING_DIM, dtype=np.float32)
         for token in (text or "").upper().split():
-            h = hash_token(token)
-            vec[h % EMBEDDING_DIM] += 1.0 if (h >> 7) % 2 == 0 else -1.0
+            hit = cache.get(token)
+            if hit is None:
+                h = hash_token(token)
+                hit = (h % EMBEDDING_DIM, 1.0 if (h >> 7) % 2 == 0 else -1.0)
+                cache[token] = hit
+            vec[hit[0]] += hit[1]
         norm = float(np.linalg.norm(vec))
         if norm > 0:
             vec /= norm

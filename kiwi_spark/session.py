@@ -40,6 +40,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
         )
         .config("spark.sql.files.openCostInBytes", "1m")
+        # let Catalyst broadcast mid-size id maps / dims (e.g. the
+        # entity→canonical map) so fact-side tables never shuffle; on a
+        # cluster this is per-executor memory, sized accordingly
+        .config("spark.sql.autoBroadcastJoinThreshold", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
