@@ -83,6 +83,26 @@ def test_build_excerpt():
     assert len(excerpt.split()) == 501
 
 
+def test_catalog_crash_safety(spark, tmp_path):
+    """A half-written snapshot dir (crash before manifest flip) must stay
+    invisible — readers keep seeing the last committed snapshot."""
+    import os
+
+    from kiwi_spark.sources.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.commit(spark.range(5), "t")
+    # simulate a crashed writer: data dir exists, manifest never flipped
+    partial = tmp_path / "wh" / "t" / "snap-00002"
+    partial.mkdir(parents=True)
+    (partial / "part-zzz.parquet.tmp").write_bytes(b"garbage")
+    assert cat.read(spark, "t").count() == 5
+    snap = cat.commit(spark.range(7), "t")
+    # next commit does not collide with the orphan dir
+    assert snap["dir"] != "snap-00002" or os.path.exists(cat.path("t"))
+    assert cat.read(spark, "t").count() == 7
+
+
 def test_catalog_snapshots(spark, tmp_path):
     from kiwi_spark.sources.catalog import Catalog
 
