@@ -281,14 +281,16 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        n_planes: int = 8, seed: int = 13) -> DataFrame:
+                        n_planes: int = 8, n_sketches: int = 4,
+                        seed: int = 13) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold: sign-LSH bucket blocking
-    (hyperplane sketch; high-cosine pairs collide with high probability in
-    at least one of the two staggered sketches), verified exactly."""
+    (hyperplane sketches; a cos≥0.99 pair collides in ≥1 of the staggered
+    sketches with p≈1-(1-0.77)^n_sketches ≈ 0.997 at the defaults),
+    verified exactly on candidates."""
     rng = np.random.RandomState(seed)
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
-    planes = [rng.randn(dim).tolist() for _ in range(2 * n_planes)]
+    planes = [rng.randn(dim).tolist() for _ in range(n_sketches * n_planes)]
 
     def sketch(plane_set: list[list[float]], name: str):
         bits = [
@@ -312,14 +314,15 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
             expr = expr * 2 + bit
         return expr.alias(name)
 
+    bucket_cols = [
+        sketch(planes[i * n_planes : (i + 1) * n_planes], f"b{i}")
+        for i in range(n_sketches)
+    ]
     sk = embeddings.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("vec"),
-        sketch(planes[:n_planes], "b0"),
-        sketch(planes[n_planes:], "b1"),
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"), *bucket_cols
     )
     cands = None
-    for bucket in ("b0", "b1"):
+    for bucket in [f"b{i}" for i in range(n_sketches)]:
         c = (
             sk.alias("l")
             .join(sk.alias("r"), bucket)

@@ -125,9 +125,30 @@ def test_simhash_pairs_hamming(spark, docs):
 
 
 def test_embedding_dup_pairs(spark, embeddings):
-    got = dedup.embedding_dup_pairs(embeddings.limit(150), threshold=0.98).collect()
+    # stock vectors are near-orthogonal (max pairwise cos ~0.51) — inject
+    # genuine near-duplicates and verify sign-LSH blocking recovers them
+    import numpy as np
+
+    rows = embeddings.limit(100).collect()
+    base = [list(map(float, r["embedding"])) for r in rows[:5]]
+    rng = np.random.RandomState(3)
+    injected = []
+    for i, vec in enumerate(base):
+        v = np.array(vec)
+        dup = v + rng.randn(len(v)) * 0.01 * np.linalg.norm(v)
+        injected.append((10_000 + i, [float(x) for x in dup]))
+    df = spark.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows] + injected,
+        "vec_id long, embedding array<float>",
+    )
+    got = dedup.embedding_dup_pairs(df, threshold=0.95).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in got}
+    expected = {(r["vec_id"], 10_000 + i) for i, r in enumerate(rows[:5])}
+    recall = len(found & expected) / len(expected)
+    # sign-LSH is probabilistic: per-pair all-sketch miss ≈1-2% at cos≈0.996
+    assert recall >= 0.8, (recall, found)
     for r in got:
-        assert r["cosine"] >= 0.98
+        assert r["cosine"] >= 0.95  # verification: no false positives
 
 
 def test_cosine_topk_vs_numpy(spark, embeddings):
