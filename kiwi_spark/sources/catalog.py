@@ -54,14 +54,25 @@ class Catalog:
         return self.current_snapshot(table) is not None
 
     def path(self, table: str) -> str:
+        return self.paths(table)[0]
+
+    def paths(self, table: str) -> list[str]:
+        """All data dirs of the current snapshot (append snapshots reference
+        prior dirs plus their own — the Iceberg manifest-list analog)."""
         snap = self.current_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
-        return os.path.join(self.warehouse, table, snap["dir"])
+        dirs = snap.get("dirs") or [snap["dir"]]
+        return [os.path.join(self.warehouse, table, d) for d in dirs]
 
     # -- commit / read -----------------------------------------------------
-    def commit(self, df, table: str, stage: str | None = None) -> dict:
-        """Write df as the next snapshot of `table`, then flip the manifest."""
+    def commit(self, df, table: str, stage: str | None = None,
+               append: bool = False) -> dict:
+        """Write df as the next snapshot of `table`, then flip the manifest.
+
+        ``append=True`` writes only df's rows into the new snapshot dir and
+        the snapshot references the previous snapshot's dirs as well —
+        an Iceberg fast-append (no rewrite of existing data)."""
         manifest = self._read_manifest(table) or {"current": None, "snapshots": []}
         next_id = (
             max((s["id"] for s in manifest["snapshots"]), default=0) + 1
@@ -70,9 +81,16 @@ class Catalog:
         out = os.path.join(self.warehouse, table, snap_dir)
         started = time.time()
         df.write.mode("overwrite").parquet(out)
+        dirs = [snap_dir]
+        if append and manifest["current"] is not None:
+            prev = next(
+                s for s in manifest["snapshots"] if s["id"] == manifest["current"]
+            )
+            dirs = (prev.get("dirs") or [prev["dir"]]) + [snap_dir]
         snap = {
             "id": next_id,
             "dir": snap_dir,
+            "dirs": dirs,
             "stage": stage or table,
             "committed_at": time.time(),
             "write_seconds": round(time.time() - started, 3),
@@ -87,7 +105,7 @@ class Catalog:
         return snap
 
     def read(self, spark, table: str):
-        return spark.read.parquet(self.path(table))
+        return spark.read.parquet(*self.paths(table))
 
     def drop(self, table: str) -> None:
         target = os.path.join(self.warehouse, table)
