@@ -20,6 +20,7 @@ def graph(spark, tmp_path_factory):
                  collect_lineage=False)
     cat = Catalog(wh)
     return {
+        "warehouse": wh,
         "nodes": cat.read(spark, "nodes").cache(),
         "edges": cat.read(spark, "edges").cache(),
         "mentions": cat.read(spark, "mentions").cache(),
@@ -164,6 +165,37 @@ def test_entity_sources_and_metadata(graph):
         graph["mentions"], graph["text"], [srcs[0]["mention_id"]]
     ).collect()
     assert meta and meta[0]["warc_ts"] is not None
+
+
+def test_sql_api(spark, graph, tmp_path_factory):
+    from kiwi_spark.functions.linking import compact_name_key
+    from kiwi_spark.plans import sql_api
+
+    # re-register views over the same warehouse the fixture built
+    wh = graph["warehouse"]
+    views = sql_api.register_graph_views(spark, wh)
+    assert "kg_nodes" in views and "kg_edges" in views
+
+    node = graph["nodes"].orderBy(F.desc("n_sources")).first()
+    rows = spark.sql(
+        sql_api.entity_by_name_sql(compact_name_key(node["name"]))
+    ).collect()
+    assert any(r["entity_id"] == node["entity_id"] for r in rows)
+
+    nbrs_sql = spark.sql(sql_api.neighbours_sql(node["entity_id"], limit=100)).collect()
+    expected = graph["edges"].where(
+        (F.col("src_id") == node["entity_id"]) | (F.col("dst_id") == node["entity_id"])
+    ).count()
+    assert len(nbrs_sql) == min(expected, 100)
+
+    top = spark.sql(sql_api.top_entities_sql(5)).collect()
+    assert top[0]["entity_id"] == node["entity_id"]
+
+    srcs = spark.sql(sql_api.entity_sources_sql(node["entity_id"], 10)).collect()
+    assert 0 < len(srcs) <= 10
+
+    rel = spark.sql(sql_api.relationship_search_sql("acquired", 5)).collect()
+    assert rel and all("acquired" in r["description"].lower() for r in rel)
 
 
 def test_similar_sources(graph):
