@@ -207,7 +207,45 @@ def blocking_edges(nodes: DataFrame, fuzzy: bool = False) -> DataFrame:
         .where(F.col("entity_id") != F.col("anchor"))
         .select(F.col("entity_id").alias("u"), F.col("anchor").alias("v"))
     )
-    return exact_edges.union(acr_edges)
+    return verify_pairs(exact_edges.union(acr_edges), nodes)
+
+
+def verify_pairs(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Vectorized candidate-pair verification (north_star: "blocking-key
+    candidate generation + vectorized similarity scoring").
+
+    Star-edge construction is lossless AND sound by key design, so on
+    well-formed inputs this rejects nothing — it is the belt-and-braces
+    layer that keeps the linker correct if a future blocking key
+    over-generates (e.g. a looser similarity key): every candidate pair is
+    re-scored against the full pairwise predicate (dedupe.ts:102-145) in
+    one Arrow-batched pandas UDF over (name_u, type_u, name_v, type_v)."""
+    from pyspark.sql.types import BooleanType
+
+    from ..functions.linking import are_duplicates
+
+    @F.pandas_udf(BooleanType())
+    def dup_udf(nu: pd.Series, tu: pd.Series, nv: pd.Series, tv: pd.Series) -> pd.Series:
+        return pd.Series(
+            [are_duplicates(a, b, c, d) for a, b, c, d in zip(nu, tu, nv, tv)]
+        )
+
+    u_attrs = nodes.select(
+        F.col("entity_id").alias("u"),
+        F.col("name").alias("_nu"),
+        F.col("type").alias("_tu"),
+    )
+    v_attrs = nodes.select(
+        F.col("entity_id").alias("v"),
+        F.col("name").alias("_nv"),
+        F.col("type").alias("_tv"),
+    )
+    return (
+        pairs.join(u_attrs, "u")
+        .join(v_attrs, "v")
+        .where(dup_udf("_nu", "_tu", "_nv", "_tv"))
+        .select("u", "v")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -60,3 +60,25 @@ def test_fuzzy_linking_matches_global_union_find(doc_entities):
     # canonical id is the group minimum (L12 first_value(id ASC) semantics)
     for canonical, members in got_groups.items():
         assert canonical == min(members)
+
+
+def test_verify_pairs_rejects_poisoned_candidates(spark):
+    """The vectorized verification layer must drop candidate pairs that an
+    over-generating blocking key could produce but the predicate rejects."""
+    from kiwi_spark.operators.link import verify_pairs
+
+    nodes = spark.createDataFrame(
+        [
+            ("e1", "APPLE", "ORGANIZATION"),
+            ("e2", "APPLE INC", "ORGANIZATION"),
+            ("e3", "ORANGE LLC", "ORGANIZATION"),
+            ("e4", "ALICE SMITH", "PERSON"),
+            ("e5", "ALICE JONES", "PERSON"),
+        ],
+        "entity_id string, name string, type string",
+    )
+    pairs = spark.createDataFrame(
+        [("e1", "e2"), ("e1", "e3"), ("e4", "e5")], "u string, v string"
+    )
+    got = {(r["u"], r["v"]) for r in verify_pairs(pairs, nodes).collect()}
+    assert got == {("e1", "e2")}
