@@ -5,6 +5,10 @@ Usage:
         [--search TEXT] [--neighbours NAME] [--path NAME NAME] [--limit N]
 
 Demonstrates the read side (SURVEY §2.5 / plans/queries.py) end-to-end.
+
+Note: pass LANG=C.UTF-8 (or any UTF-8 locale) when querying non-ASCII
+entity names — spark-submit's JVM launcher mangles argv under the C locale
+before Python ever sees it.
 """
 
 from __future__ import annotations
