@@ -202,6 +202,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("user_id", "session_seq")
         )
 
+    def user_running_value(spark, sf):
+        # running aggregation window (frame = unbounded preceding → current)
+        from pyspark.sql.window import Window
+
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            ev.select(
+                "user_id",
+                "event_id",
+                F.round(F.sum("value").over(w), 2).alias("running_value"),
+                F.count("*").over(w).alias("running_events"),
+            )
+            .orderBy("user_id", "event_id")
+        )
+
+    def top_shingles(spark, sf):
+        # explode + document-frequency + top-k (the dedup blocking profile)
+        from kiwi_spark.operators.dedup import _shingles
+
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select("doc_id", F.explode(_shingles(3, "text")).alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.desc("df"), F.asc("shingle"))
+            .limit(20)
+        )
+
+    def customer_segment_stats(spark, sf):
+        # conditional aggregation (CASE WHEN inside agg) + having
+        c = _t(spark, sf, "customer")
+        return (
+            c.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+                F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("n_negative"),
+                F.round(
+                    F.max(F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))), 2
+                ).alias("max_nonneg_bal"),
+            )
+            .where(F.col("n_customers") > 10)
+            .orderBy("c_mktsegment")
+        )
+
     def dedup_exact_docs(spark, sf):
         return dedup.exact_duplicates(_t(spark, sf, "documents")).orderBy("doc_id")
 
@@ -263,6 +311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": brand_revenue,
         "events_hourly": events_hourly,
         "user_sessions": user_sessions,
+        "user_running_value": user_running_value,
+        "top_shingles": top_shingles,
+        "customer_segment_stats": customer_segment_stats,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_jaccard_docs": dedup_ngram_jaccard_docs,
         "dedup_minhash_docs": dedup_minhash_docs,
@@ -402,6 +453,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM sessions GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "user_running_value": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER w, 2) AS running_value,
+                   count(*) OVER w AS running_events
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id
+        """,
+        "top_shingles": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM toks
+            )
+            SELECT shingle, count(DISTINCT doc_id) AS df
+            FROM sh GROUP BY shingle
+            ORDER BY df DESC, shingle ASC LIMIT 20
+        """,
+        "customer_segment_stats": """
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   round(avg(c_acctbal), 2) AS avg_bal,
+                   CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_negative,
+                   round(max(CASE WHEN c_acctbal >= 0 THEN c_acctbal END), 2)
+                       AS max_nonneg_bal
+            FROM customer
+            GROUP BY c_mktsegment
+            HAVING count(*) > 10
+            ORDER BY c_mktsegment
         """,
         "dedup_exact_docs": """
             WITH keyed AS (
