@@ -576,12 +576,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text, {_TOKS_UNI} AS t FROM documents
             )
             SELECT doc_id,
-                   CASE WHEN length(trim(text)) > 0
+                   CAST(CASE WHEN length(trim(text)) > 0
                         THEN len(string_split_regex(trim(text), '\\s+'))
-                        ELSE 0 END AS ws_tokens,
-                   list_sum(list_transform(t,
+                        ELSE 0 END AS BIGINT) AS ws_tokens,
+                   CAST(list_sum(list_transform(t,
                        x -> greatest(1, cast(ceil(strlen(x) / 4.0) AS BIGINT))))
-                   AS bpe_tokens_est
+                   AS BIGINT) AS bpe_tokens_est
             FROM toks ORDER BY doc_id
         """,
         "doc_fingerprints": """

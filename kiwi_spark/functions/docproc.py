@@ -116,12 +116,17 @@ def process_document(
             if seg.kind != _TEXT:
                 continue
             idx = content.find(seg.text, cursor)
+            if idx >= 0:
+                # exact match: advance past it so a verbatim-repeated
+                # sentence resolves to ITS occurrence, not the first one
+                sentences.append((seg.text, idx, idx + len(seg.text)))
+                cursor = idx + len(seg.text)
+                continue
+            # sentence was whitespace-joined across lines; locate its head
+            head = seg.text.split("\n", 1)[0][:40]
+            idx = content.find(head, cursor)
             if idx < 0:
-                # sentence was whitespace-joined across lines; locate its head
-                head = seg.text.split("\n", 1)[0][:40]
-                idx = content.find(head, cursor)
-                if idx < 0:
-                    idx = cursor
+                idx = cursor
             sentences.append((seg.text, idx, idx + len(seg.text)))
             cursor = idx
 

@@ -58,9 +58,21 @@ def hash_token(token: str) -> int:
     return h
 
 
-def with_bucket(df: DataFrame, id_col: str, n_buckets: int = 32) -> DataFrame:
+def with_bucket(df: DataFrame, id_col, n_buckets: int = 32) -> DataFrame:
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
     return df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+        "bucket", F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+    )
+
+
+def compact_key_col(name_col: str = "name"):
+    """JVM-side twin of functions.linking.compact_name_key (the L12
+    cross-file key, apps/worker/lib/sql.ts:16-22) — pure string algebra,
+    runs inside whole-stage codegen."""
+    return F.upper(
+        F.regexp_replace(
+            F.regexp_replace(F.col(name_col), "&", " AND "), r"[^\p{L}\p{N}]+", ""
+        )
     )
 
 
@@ -98,9 +110,19 @@ class StageTimer:
 
 
 def materialize_nodes(nodes: DataFrame, n_buckets: int = 32) -> DataFrame:
-    return with_bucket(
-        nodes.withColumn("embedding", embed_text("description")), "entity_id", n_buckets
-    ).repartition("bucket")
+    """entity-hash bucketed; ``compact_key`` is materialized JVM-side so
+    name point-lookups are pushed parquet filters with tight row-group
+    stats (sorted within partitions), zero Python stages."""
+    return (
+        with_bucket(
+            nodes.withColumn("embedding", embed_text("description"))
+            .withColumn("compact_key", compact_key_col("name")),
+            "entity_id",
+            n_buckets,
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("compact_key")
+    )
 
 
 def materialize_edges(edges: DataFrame, n_buckets: int = 32) -> DataFrame:
@@ -110,8 +132,11 @@ def materialize_edges(edges: DataFrame, n_buckets: int = 32) -> DataFrame:
 
 
 def materialize_mentions(mentions: DataFrame, n_buckets: int = 32) -> DataFrame:
+    # edge mentions have entity_id NULL — bucket by whichever id is set so
+    # they hash-distribute instead of piling into a NULL bucket (skew) and
+    # edge-mention lookups prune too.
     return with_bucket(
         mentions.withColumn("embedding", embed_text("description")),
-        "entity_id",
+        F.coalesce(F.col("entity_id"), F.col("edge_id")),
         n_buckets,
     ).repartition("bucket")

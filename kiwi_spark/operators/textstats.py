@@ -108,8 +108,9 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.col(id_col).alias("doc_id"),
         F.when(F.length(F.trim(F.col(text_col))) > 0, ws_tokens)
         .otherwise(0)
+        .cast("long")
         .alias("ws_tokens"),
-        bpe_est.alias("bpe_tokens_est"),
+        bpe_est.cast("long").alias("bpe_tokens_est"),
     )
 
 

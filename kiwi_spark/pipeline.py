@@ -162,27 +162,44 @@ def incremental_add(
     exactly the L12 semantics — and its input (nodes_doc) is ~2 rows per
     thousand input bytes, so the relink cost is negligible next to
     ingestion. Deterministic: the result equals a from-scratch run over the
-    union of all pages (tested)."""
+    union of all pages (tested).
+
+    Crash-safe: every fast-append is tagged with a deterministic batch id
+    (order-insensitive xxhash64-xor over the batch's urls). A retried call
+    after a mid-batch crash finds the tag in the manifest chain and skips
+    already-appended tables instead of duplicating rows (tested)."""
     cat = Catalog(warehouse)
     result = PipelineResult(warehouse=warehouse)
 
+    # deterministic idempotency key: one tiny distributed agg, one driver row
+    sig = new_pages.agg(
+        F.bit_xor(F.xxhash64("url")).alias("h"), F.count("*").alias("n")
+    ).first()
+    batch_id = f"b{(sig['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{sig['n']}"
+
+    def _append(df_builder, table: str, stage: str):
+        if cat.batch_appended(table, batch_id):
+            result.stages_skipped.append(f"{table}_append")
+            return
+        cat.commit(df_builder(), table, stage=stage, append=True, batch_id=batch_id)
+
     started = time.time()
-    cat.commit(extract_text(new_pages), "text", stage="preprocessing", append=True)
+    _append(lambda: extract_text(new_pages), "text", "preprocessing")
     result.timings["text_append"] = round(time.time() - started, 3)
 
     # process only the new urls through the kernel (read back from the
-    # append snapshot's own dir — no semi-join over the whole text table)
-    text_new = spark.read.parquet(cat.paths("text")[-1]).where(
+    # batch's own snapshot dir — no semi-join over the whole text table)
+    text_new = spark.read.parquet(*cat.batch_paths("text", batch_id)).where(
         F.col("error_code").isNull()
     )
     started = time.time()
-    cat.commit(graph_rows_df(text_new), "raw_graph", stage="extracting", append=True)
-    raw_new = spark.read.parquet(cat.paths("raw_graph")[-1])
-    cat.commit(explode_units(raw_new.select("units")), "units", stage="chunking", append=True)
+    _append(lambda: graph_rows_df(text_new), "raw_graph", "extracting")
+    raw_new = spark.read.parquet(*cat.batch_paths("raw_graph", batch_id))
+    _append(lambda: explode_units(raw_new.select("units")), "units", "chunking")
     n, e, m = explode_graph(raw_new)
-    cat.commit(n, "nodes_doc", stage="extracting", append=True)
-    cat.commit(e, "edges_doc", stage="extracting", append=True)
-    cat.commit(m, "mentions_doc", stage="extracting", append=True)
+    _append(lambda: n, "nodes_doc", "extracting")
+    _append(lambda: e, "edges_doc", "extracting")
+    _append(lambda: m, "mentions_doc", "extracting")
     result.timings["ingest_append"] = round(time.time() - started, 3)
 
     # global relink + canonical graph rebuild (L12 pass over all docs)

@@ -143,9 +143,11 @@ def search_entities(nodes: DataFrame, query_text: str, limit: int = 10,
     score = hybrid_score(query_text, "name", "embedding")
     trg = make_trigram_udf(query_text)(F.col("name"))
     ranked = nodes.withColumn("score", score).withColumn("_kw", trg)
+    # entity.ts:170-174 — recall filter uses the RAW trigram similarity
+    # (similarity >= 0.08), not the 0.15-weighted score term.
     filtered = ranked.where(
         (F.col("score") - F.lit(KEYWORD_WEIGHT) * F.col("_kw") >= MIN_SEMANTIC_SCORE)
-        | (F.lit(KEYWORD_WEIGHT) * F.col("_kw") >= MIN_KEYWORD_BOOST)
+        | (F.col("_kw") >= MIN_KEYWORD_BOOST)
     ).drop("_kw")
     filtered = _keyset(filtered, cursor, "score", "entity_id")
     return (
@@ -172,17 +174,23 @@ def list_entities(nodes: DataFrame, limit: int = 50, cursor: str | None = None,
 
 
 def lookup_entity(nodes: DataFrame, name: str) -> DataFrame:
-    """Exact/alias lookup by normalized name (convenience entry point)."""
+    """Exact lookup by compact name key — Python-free point lookup.
+
+    Uses the materialized ``compact_key`` column when present (pushed
+    parquet filter + tight row-group stats from sortWithinPartitions);
+    falls back to the equivalent JVM regexp expression otherwise. The
+    query constant is normalized driver-side with the Python twin.
+    """
     from ..functions.linking import compact_name_key
+    from ..operators.materialize import compact_key_col
 
     key = compact_name_key(name)
-    from pyspark.sql.types import StringType
-
-    @F.pandas_udf(StringType())
-    def compact_udf(names: pd.Series) -> pd.Series:
-        return names.map(compact_name_key)
-
-    return nodes.where(compact_udf(F.col("name")) == key)
+    col = (
+        F.col("compact_key")
+        if "compact_key" in nodes.columns
+        else compact_key_col("name")
+    )
+    return nodes.where(col == key)
 
 
 # --------------------------------------------------------------------------
@@ -209,9 +217,10 @@ def search_relationships(edges: DataFrame, nodes: DataFrame, query_text: str,
     qvec = embed_query(query_text)
     sem = F.greatest(F.lit(0.0), cosine_to(qvec, "embedding"))
     df = df.withColumn("score", sem + F.lit(KEYWORD_WEIGHT) * combined_kw)
+    # graph.ts:218 / entity.ts:170-174 — raw keyword similarity in the filter
     df = df.where(
         (F.col("score") - F.lit(KEYWORD_WEIGHT) * combined_kw >= MIN_SEMANTIC_SCORE)
-        | (F.lit(KEYWORD_WEIGHT) * combined_kw >= MIN_KEYWORD_BOOST)
+        | (combined_kw >= MIN_KEYWORD_BOOST)
     )
     df = _keyset(df, cursor, "score", "edge_id")
     return (
@@ -270,9 +279,14 @@ def get_entity_neighbours(edges: DataFrame, nodes: DataFrame, entity_id: str,
 
 def get_path_between_entities(edges: DataFrame, src_id: str, dst_id: str,
                               max_depth: int = MAX_PATH_DEPTH) -> list[str] | None:
-    """Iterative frontier BFS over edge DataFrames; one shortest path
-    reconstructed from per-level predecessor maps (driver holds only the
-    frontier predecessor rows, never the graph)."""
+    """Iterative frontier BFS over edge DataFrames (reference semantics:
+    tools/relationship.ts:405-549, ≤5 hops, undirected).
+
+    Scale-safe: the per-level predecessor maps stay as checkpointed
+    DataFrames — the driver never materializes a frontier. Each level probes
+    dst with a single-row take(1); the ≤max_depth path is reconstructed with
+    one single-row pushed-filter lookup per level.
+    """
     if src_id == dst_id:
         return [src_id]
     bidir = edges.select(
@@ -282,7 +296,8 @@ def get_path_between_entities(edges: DataFrame, src_id: str, dst_id: str,
     spark = edges.sparkSession
     visited = spark.createDataFrame([(src_id,)], ["node"])
     frontier = visited
-    levels: list[dict[str, str]] = []
+    levels: list[DataFrame] = []
+    found = False
 
     for _ in range(max_depth):
         step = (
@@ -293,20 +308,29 @@ def get_path_between_entities(edges: DataFrame, src_id: str, dst_id: str,
             .agg(F.min("pred").alias("pred"))
             .localCheckpoint(eager=True)
         )
-        preds = {r["node"]: r["pred"] for r in step.collect()}
-        if not preds:
+        if not step.take(1):
             return None
-        levels.append(preds)
-        if dst_id in preds:
-            path = [dst_id]
-            for level in reversed(levels):
-                if path[-1] in level:
-                    path.append(level[path[-1]])
-            path = [p for p in path if p is not None]
-            return list(reversed(path))
+        levels.append(step)
+        if step.where(F.col("node") == dst_id).take(1):
+            found = True
+            break
         frontier = step.select("node")
         visited = visited.union(frontier).distinct().localCheckpoint(eager=True)
-    return None
+    if not found:
+        return None
+
+    # Walk back one level per hop: dst is in levels[-1], its pred in
+    # levels[-2], …, the level-0 pred is src. Each lookup is a single-row
+    # equality filter on a checkpointed frontier — no full collect.
+    path = [dst_id]
+    cur = dst_id
+    for level in reversed(levels):
+        row = level.where(F.col("node") == cur).select("pred").take(1)
+        if not row or row[0]["pred"] is None:
+            break
+        cur = row[0]["pred"]
+        path.append(cur)
+    return list(reversed(path))
 
 
 # --------------------------------------------------------------------------
@@ -364,6 +388,9 @@ def similar_sources(mentions: DataFrame, seed_mention_id: str, k: int = 5,
             [], "mention_id string, url string, description string, distance double"
         )
     qvec = [float(x) for x in seed["embedding"]]
+    # Exclusion is applied BEFORE the top-k (the reference over-fetches 3×
+    # then drops seen ids, source.ts:487 — pre-filtering is equivalent and
+    # never returns <k rows when k matches exist).
     df = mentions.where(F.col("mention_id") != seed_mention_id)
     if exclude:
         df = df.where(~F.col("mention_id").isin(exclude))
@@ -371,7 +398,6 @@ def similar_sources(mentions: DataFrame, seed_mention_id: str, k: int = 5,
         df.withColumn("distance", F.lit(1.0) - cosine_to(qvec, "embedding"))
         .select("mention_id", "url", "description", "distance")
         .orderBy(F.asc("distance"), F.asc("mention_id"))
-        .limit(3 * k)  # candidate over-fetch (source.ts:487)
         .limit(k)
     )
 

@@ -15,6 +15,12 @@ from ..sources.catalog import Catalog
 GRAPH_TABLES = ("nodes", "edges", "mentions", "units", "text")
 
 
+def _q(value: str) -> str:
+    """SQL string-literal escape for interpolated values (doubles single
+    quotes) — every user-supplied value below goes through this."""
+    return str(value).replace("'", "''")
+
+
 def register_graph_views(spark: SparkSession, warehouse: str,
                          prefix: str = "kg_") -> list[str]:
     """Register kg_nodes / kg_edges / … temp views over the warehouse."""
@@ -28,12 +34,12 @@ def register_graph_views(spark: SparkSession, warehouse: str,
 
 
 def entity_by_name_sql(name_norm: str, prefix: str = "kg_") -> str:
-    """Exact lookup on the compact name key (L12 key, JVM-side regexes)."""
+    """Exact lookup on the materialized ``compact_key`` column (L12 key) —
+    a pushed-down equality filter, no per-row recompute."""
     return f"""
         SELECT entity_id, name, type, description, n_sources
         FROM {prefix}nodes
-        WHERE upper(regexp_replace(regexp_replace(name, '&', ' AND '),
-                                   '[^\\\\p{{L}}\\\\p{{N}}]+', '')) = '{name_norm}'
+        WHERE compact_key = '{_q(name_norm)}'
         ORDER BY entity_id
     """
 
@@ -44,9 +50,9 @@ def neighbours_sql(entity_id: str, limit: int = 50, prefix: str = "kg_") -> str:
         SELECT n.entity_id, n.name, n.type, e.edge_id, e.pred, e.strength
         FROM {prefix}edges e
         JOIN {prefix}nodes n
-          ON n.entity_id = CASE WHEN e.src_id = '{entity_id}'
+          ON n.entity_id = CASE WHEN e.src_id = '{_q(entity_id)}'
                                 THEN e.dst_id ELSE e.src_id END
-        WHERE e.src_id = '{entity_id}' OR e.dst_id = '{entity_id}'
+        WHERE e.src_id = '{_q(entity_id)}' OR e.dst_id = '{_q(entity_id)}'
         ORDER BY n.entity_id
         LIMIT {int(limit)}
     """
@@ -66,7 +72,7 @@ def entity_sources_sql(entity_id: str, limit: int = 20, prefix: str = "kg_") -> 
     return f"""
         SELECT m.mention_id, m.unit_id, m.url, m.description, m.source_chunk_ids
         FROM {prefix}mentions m
-        WHERE m.entity_id = '{entity_id}'
+        WHERE m.entity_id = '{_q(entity_id)}'
         ORDER BY m.mention_id
         LIMIT {int(limit)}
     """
@@ -75,7 +81,7 @@ def entity_sources_sql(entity_id: str, limit: int = 20, prefix: str = "kg_") -> 
 def relationship_search_sql(term: str, limit: int = 10, prefix: str = "kg_") -> str:
     """Q4 keyword tier in pure SQL (ILIKE + exact-term boost; the semantic
     tier needs the embedding column — use plans.queries for the full rank)."""
-    safe = term.replace("'", "''").lower()
+    safe = _q(term.lower())
     return f"""
         SELECT e.edge_id, sn.name AS src_name, e.pred, dn.name AS dst_name,
                e.description, e.strength,

@@ -67,12 +67,16 @@ class Catalog:
 
     # -- commit / read -----------------------------------------------------
     def commit(self, df, table: str, stage: str | None = None,
-               append: bool = False) -> dict:
+               append: bool = False, batch_id: str | None = None) -> dict:
         """Write df as the next snapshot of `table`, then flip the manifest.
 
         ``append=True`` writes only df's rows into the new snapshot dir and
         the snapshot references the previous snapshot's dirs as well —
-        an Iceberg fast-append (no rewrite of existing data)."""
+        an Iceberg fast-append (no rewrite of existing data).
+
+        ``batch_id`` tags the snapshot with an idempotency key (Iceberg's
+        wap.id analog): retried incremental batches check
+        ``batch_appended`` and skip instead of double-appending."""
         manifest = self._read_manifest(table) or {"current": None, "snapshots": []}
         next_id = (
             max((s["id"] for s in manifest["snapshots"]), default=0) + 1
@@ -95,6 +99,8 @@ class Catalog:
             "committed_at": time.time(),
             "write_seconds": round(time.time() - started, 3),
         }
+        if batch_id is not None:
+            snap["batch_id"] = batch_id
         manifest["snapshots"].append(snap)
         manifest["current"] = next_id
         tmp = self._manifest_path(table) + ".tmp"
@@ -103,6 +109,30 @@ class Catalog:
             json.dump(manifest, fh, indent=2)
         os.replace(tmp, self._manifest_path(table))  # atomic flip
         return snap
+
+    def batch_appended(self, table: str, batch_id: str) -> bool:
+        """True iff a snapshot tagged with batch_id is part of the CURRENT
+        snapshot's data-dir chain (i.e. the batch's rows are live)."""
+        manifest = self._read_manifest(table)
+        if not manifest or manifest.get("current") is None:
+            return False
+        cur = next(
+            s for s in manifest["snapshots"] if s["id"] == manifest["current"]
+        )
+        live = set(cur.get("dirs") or [cur["dir"]])
+        return any(
+            s.get("batch_id") == batch_id and s["dir"] in live
+            for s in manifest["snapshots"]
+        )
+
+    def batch_paths(self, table: str, batch_id: str) -> list[str]:
+        """Data dirs written by the snapshot(s) tagged with batch_id."""
+        manifest = self._read_manifest(table) or {"snapshots": []}
+        return [
+            os.path.join(self.warehouse, table, s["dir"])
+            for s in manifest["snapshots"]
+            if s.get("batch_id") == batch_id
+        ]
 
     def read(self, spark, table: str):
         return spark.read.parquet(*self.paths(table))
