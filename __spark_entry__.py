@@ -251,26 +251,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def dedup_exact_docs(spark, sf):
-        return dedup.exact_duplicates(_t(spark, sf, "documents")).orderBy("doc_id")
+        # documents has no byte-identical pairs — union in 3 whitespace-variant
+        # copies (same on the oracle side) so the normalize+group+join path
+        # produces checked rows instead of a trivial 0=0.
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        extra = docs.where(F.col("doc_id") < 3).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("  "), F.col("text"), F.lit("\n")).alias("text"),
+        )
+        return dedup.exact_duplicates(docs.unionByName(extra)).orderBy("doc_id")
 
     def dedup_ngram_jaccard_docs(spark, sf):
         return dedup.ngram_jaccard_pairs(
             _t(spark, sf, "documents"), n=3, threshold=0.5
         ).orderBy("doc_a", "doc_b")
 
-    def dedup_minhash_docs(spark, sf):  # hash-based: rows-only check
+    def dedup_minhash_docs(spark, sf):  # md5-derived hashes: exact DuckDB twin
         return dedup.minhash_lsh_pairs(
             _t(spark, sf, "documents"), n=3, threshold=0.7
         ).orderBy("doc_a", "doc_b")
 
-    def dedup_simhash_docs(spark, sf):  # hash-based: rows-only check
+    def dedup_simhash_docs(spark, sf):  # md5-derived bits: exact DuckDB twin
         return dedup.simhash_pairs(
             _t(spark, sf, "documents"), max_hamming=3
         ).orderBy("doc_a", "doc_b")
 
-    def embedding_dups(spark, sf):  # LSH-based: rows-only check
+    def embedding_dups(spark, sf):  # md5-derived planes: exact DuckDB twin
+        # The raw table has no cosine≥0.95 pairs (max ≈0.51), which would
+        # make the check a trivial 0=0 — union in 5 deterministic duplicate
+        # vectors (same on the oracle side) so bucketing, candidate join and
+        # cosine verify all produce checked rows.
+        emb = _t(spark, sf, "embeddings")
+        extra = emb.where(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
         return dedup.embedding_dup_pairs(
-            _t(spark, sf, "embeddings"), threshold=0.95
+            emb.select("vec_id", "embedding").unionByName(extra), threshold=0.95
         ).orderBy("doc_a", "doc_b")
 
     def lang_id_docs(spark, sf):
@@ -290,16 +306,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         return similarity.cosine_topk(emb, q, k=10)
 
-    def similarity_ivf(spark, sf):  # centroid-sampled ANN: rows-only check
+    def similarity_ivf(spark, sf):
+        # Exhaustive probe (nprobe = n_cells) exercises the full IVF path —
+        # build, centroid assignment, cell pruning plumbing, per-cell scan —
+        # and is provably equal to exact top-k, so the DuckDB brute-force
+        # twin hash-checks it. Partial-probe recall is covered by pytest
+        # (tests/test_dataops.py ivf recall test).
         emb = _t(spark, sf, "embeddings")
         q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
         assigned, cents = similarity.ivf_build(emb, n_cells=8)
-        return similarity.ivf_topk(assigned, cents, q, k=10, nprobe=4)
+        return similarity.ivf_topk(assigned, cents, q, k=10, nprobe=8)
 
-    def kg_build_graph(spark, sf):  # full KG DAG: rows-only check
+    def kg_build_graph(spark, sf):  # full KG DAG vs committed golden
         return _kg_edges(spark, 60)
 
-    def kg_build_graph_fuzzy(spark, sf):  # fuzzy cross-doc linking
+    def kg_build_graph_fuzzy(spark, sf):  # fuzzy cross-doc linking vs golden
         return _kg_edges(spark, 60, link_mode="fuzzy")
 
     return {
@@ -349,10 +370,42 @@ _SHINGLES = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from kiwi_spark.operators.dedup import lsh_plane_signs, minhash_params
     from kiwi_spark.operators.textstats import LANG_MARKERS, STOPWORDS_EN
 
     def arr(words):
         return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    # ---- md5-derived hash-family parameters, shared with the Spark ops ----
+    # (algorithm *parameters* interpolated as literals — DuckDB recomputes
+    # every per-row hash/sign itself from md5, independently of Spark)
+    mh_a, mh_b = minhash_params(64)
+    mh_a_sql = "[" + ",".join(map(str, mh_a)) + "]"
+    mh_b_sql = "[" + ",".join(map(str, mh_b)) + "]"
+    # int32 of the first 8 md5 hex chars, computed arithmetically in SQL
+    md5_base = (
+        "list_sum(list_transform(range(8), i ->"
+        " CAST(strpos('0123456789abcdef', substr(md5(shingle), i+1, 1))-1 AS BIGINT)"
+        " * ([268435456,16777216,1048576,65536,4096,256,16,1])[i+1]))"
+    )
+    zeros64 = "[" + ",".join(["0"] * 64) + "]"
+    signs = lsh_plane_signs(4 * 8, 64)  # n_sketches=4 × n_planes=8, dim 64
+
+    def plane_lit(p):
+        return "[" + ",".join(f"{int(x)}" for x in signs[p]) + "]"
+
+    def sketch_bits(s):
+        bits = ",".join(
+            "CASE WHEN list_sum(list_transform(range(64), d ->"
+            f" CAST(embedding[d+1] AS DOUBLE) * ({plane_lit(s * 8 + p)})[d+1]))"
+            " > 0 THEN '1' ELSE '0' END"
+            for p in range(8)
+        )
+        return f"array_to_string([{bits}], '')"
+
+    goldens = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "goldens"
+    )
 
     lang_scores = ", ".join(
         f"len(list_filter(t, x -> list_contains({arr(m)}, x))) AS s_{c}"
@@ -487,9 +540,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_mktsegment
         """,
         "dedup_exact_docs": """
-            WITH keyed AS (
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, '  ' || text || chr(10) AS text
+                FROM documents WHERE doc_id < 3
+            ), keyed AS (
                 SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
-                FROM documents
+                FROM aug
             ), groups AS (
                 SELECT norm, min(doc_id) AS canonical_id, count(*) AS group_size
                 FROM keyed GROUP BY norm
@@ -613,5 +671,151 @@ def oracle_sql() -> dict[str, str]:
                        6) AS cosine
             FROM embeddings e, q
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # IVF with nprobe = n_cells ≡ exact top-k (see queries()) — the
+        # brute-force twin is therefore the exact oracle.
+        "similarity_ivf": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                       list_sum([cast(e.embedding[i] AS DOUBLE) * cast(q.qe[i] AS DOUBLE)
+                                 for i in range(1, len(e.embedding)+1)])
+                       / (sqrt(list_sum([cast(e.embedding[i] AS DOUBLE)
+                                         * cast(e.embedding[i] AS DOUBLE)
+                                         for i in range(1, len(e.embedding)+1)]))
+                          * sqrt(list_sum([cast(q.qe[i] AS DOUBLE) * cast(q.qe[i] AS DOUBLE)
+                                           for i in range(1, len(q.qe)+1)]))),
+                       6) AS cosine
+            FROM embeddings e, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        # MinHash-LSH twin: same md5-derived multiply-shift family, same
+        # 16×4 banding, same exact-Jaccard verify — computed from scratch
+        # in SQL (md5 → base32 → k mins → band buckets → verified pairs).
+        "dedup_minhash_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS t FROM documents
+            ), sh AS (
+                SELECT doc_id, {_SHINGLES} AS shingles FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(shingles) AS shingle FROM sh
+            ), based AS (
+                SELECT doc_id, {md5_base} AS base FROM ex
+            ), params AS (
+                SELECT i, ({mh_a_sql})[i+1] AS a, ({mh_b_sql})[i+1] AS b
+                FROM range(64) t(i)
+            ), sig AS (
+                SELECT doc_id, i, min((a * base + b) % 2305843009213693951) AS h
+                FROM based CROSS JOIN params GROUP BY doc_id, i
+            ), bandkeys AS (
+                SELECT doc_id, i // 4 AS band,
+                       string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bucket
+                FROM sig GROUP BY doc_id, i // 4
+            ), cand AS (
+                SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                FROM bandkeys l JOIN bandkeys r USING (band, bucket)
+                WHERE l.doc_id < r.doc_id
+            ), j AS (
+                SELECT doc_a, doc_b,
+                       len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                       / len(list_distinct(sa.shingles || sb.shingles)) AS jac
+                FROM cand
+                JOIN sh sa ON sa.doc_id = doc_a
+                JOIN sh sb ON sb.doc_id = doc_b
+            )
+            SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.7 ORDER BY doc_a, doc_b
+        """,
+        # SimHash twin: per-token 64 md5 bits (MSB-first), weighted-sign
+        # accumulate, 4×16-bit band blocking, exact Hamming verify.
+        "dedup_simhash_docs": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS token FROM toks
+            ), bits AS (
+                SELECT doc_id, j,
+                       ((strpos('0123456789abcdef', substr(md5(token), (j // 4)+1, 1))-1)
+                        >> (3 - (j % 4))) & 1 AS bit
+                FROM tok CROSS JOIN range(64) r(j)
+            ), acc AS (
+                SELECT doc_id, j,
+                       CASE WHEN sum(2*bit - 1) > 0 THEN 1 ELSE 0 END AS fpbit
+                FROM bits GROUP BY doc_id, j
+            ), fp0 AS (
+                SELECT doc_id, list(fpbit ORDER BY j) AS fb FROM acc GROUP BY doc_id
+            ), fp AS (
+                SELECT d.doc_id, coalesce(f.fb, {zeros64}) AS fb
+                FROM documents d LEFT JOIN fp0 f USING (doc_id)
+            ), bands AS (
+                SELECT doc_id, b, array_to_string(fb[16*b+1 : 16*b+16], '') AS piece
+                FROM fp CROSS JOIN range(4) r(b)
+            ), cand AS (
+                SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+                FROM bands l JOIN bands r USING (b, piece)
+                WHERE l.doc_id < r.doc_id
+            ), ham AS (
+                SELECT doc_a, doc_b,
+                       CAST(list_sum(list_transform(range(64), j ->
+                           CASE WHEN fa.fb[j+1] != fc.fb[j+1] THEN 1 ELSE 0 END))
+                       AS BIGINT) AS hamming
+                FROM cand
+                JOIN fp fa ON fa.doc_id = doc_a
+                JOIN fp fc ON fc.doc_id = doc_b
+            )
+            SELECT doc_a, doc_b, hamming
+            FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b
+        """,
+        # Embedding sign-LSH twin: the same md5-derived Rademacher planes
+        # (interpolated as parameter literals), bucket per sketch, candidate
+        # pairs sharing ≥1 sketch bucket, exact-cosine verify.
+        "embedding_dups": f"""
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 5
+            ), sk AS (
+                SELECT vec_id, embedding,
+                       {sketch_bits(0)} AS b0,
+                       {sketch_bits(1)} AS b1,
+                       {sketch_bits(2)} AS b2,
+                       {sketch_bits(3)} AS b3
+                FROM aug
+            ), cand AS (
+                SELECT l.vec_id AS doc_a, r.vec_id AS doc_b,
+                       l.embedding AS va, r.embedding AS vb
+                FROM sk l JOIN sk r
+                  ON (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+                WHERE l.vec_id < r.vec_id
+            ), scored AS (
+                SELECT doc_a, doc_b,
+                       list_sum(list_transform(range(64), i ->
+                           CAST(va[i+1] AS DOUBLE) * CAST(vb[i+1] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(64), i ->
+                              CAST(va[i+1] AS DOUBLE) * CAST(va[i+1] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(64), i ->
+                              CAST(vb[i+1] AS DOUBLE) * CAST(vb[i+1] AS DOUBLE))))) AS c
+                FROM cand
+            )
+            SELECT doc_a, doc_b, round(c, 6) AS cosine
+            FROM scored WHERE c >= 0.95 ORDER BY doc_a, doc_b
+        """,
+        # Flagship KG pipeline: expected output committed as a golden
+        # parquet generated by tests/reference_sim.py — the independent
+        # O(n²) single-process reimplementation of the reference's linking
+        # semantics (regenerate with tools/make_kg_golden.py).
+        "kg_build_graph": f"""
+            SELECT subj, pred, obj, strength
+            FROM read_parquet('{goldens}/kg_golden_parity.parquet')
+            ORDER BY subj, pred, obj
+        """,
+        "kg_build_graph_fuzzy": f"""
+            SELECT subj, pred, obj, strength
+            FROM read_parquet('{goldens}/kg_golden_fuzzy.parquet')
+            ORDER BY subj, pred, obj
         """,
     }

@@ -7,11 +7,18 @@ table (SURVEY/driver contract: deduplication as core training-data ops):
 * n-gram Jaccard — shingle explode → self-join on shingle → count-based
                    Jaccard (the exact baseline; quadratic only within
                    shingle-sharing groups)
-* MinHash + LSH  — k independent min-hashes via xxhash64(seed, shingle)
-                   (JVM-side, whole-stage codegen), banded into buckets,
-                   candidate pairs verified with exact Jaccard
+* MinHash + LSH  — k multiply-shift min-hashes over a single md5-derived
+                   base hash per shingle (JVM-side, whole-stage codegen),
+                   banded into buckets, candidates verified with exact
+                   Jaccard
 * SimHash        — 64-bit weighted-sign fingerprint (vectorized pandas UDF),
                    16-bit band blocking, Hamming-distance verify JVM-side
+
+Hash determinism: all three LSH variants derive their hash families from
+md5 (shingle base hash, simhash token bits, hyperplane signs). md5 is
+available and bit-identical in Spark SQL, Python hashlib AND DuckDB, so
+every operator here has an exact ANSI-SQL twin — the driver hash-checks
+them against DuckDB instead of a rows-only count (see __spark_entry__).
 
 Scale notes: every operator blocks before pairing (no corpus-wide cross
 join); shingle explosion is bounded by words-per-doc; band buckets cap the
@@ -22,6 +29,9 @@ mirroring df-based pruning in web-scale dedup systems.
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -29,6 +39,22 @@ from pyspark.sql.types import LongType
 
 DEFAULT_NUM_HASHES = 64
 DEFAULT_BANDS = 16
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime for multiply-shift hashing
+
+
+def _md5_u32(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def minhash_params(num_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) multiply-shift parameters, md5-derived.
+
+    a is odd and < 2^30 so a * base32 < 2^62 — no 64-bit overflow in
+    Spark's ANSI mode or DuckDB. Shared with the DuckDB oracle as literals.
+    """
+    a = [(_md5_u32(f"mh-a:{seed}:{i}") & 0x3FFFFFFF) | 1 for i in range(num_hashes)]
+    b = [_md5_u32(f"mh-b:{seed}:{i}") for i in range(num_hashes)]
+    return a, b
 
 
 def _tokens(col: str = "text"):
@@ -115,17 +141,36 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     )
 
 
+def _minhash_base():
+    """32-bit base hash of a shingle: int of the first 8 hex chars of md5.
+
+    ONE string hash per shingle; the k min-hash family is derived from it
+    with integer multiply-shift — cheaper than k independent string hashes
+    and bit-reproducible in DuckDB (strpos-over-hex arithmetic)."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = DEFAULT_NUM_HASHES,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, sig array<long>) — k independent min-hashes, all JVM-side."""
+                       id_col: str = "doc_id", text_col: str = "text",
+                       seed: int = 7) -> DataFrame:
+    """(doc_id, sig array<long>) — k multiply-shift min-hashes, all JVM-side."""
     exploded = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(_shingles(n, text_col)).alias("shingle")
     )
+    return _signatures_from_exploded(exploded, num_hashes, seed)
+
+
+def _signatures_from_exploded(exploded: DataFrame, num_hashes: int,
+                              seed: int = 7) -> DataFrame:
+    a, b = minhash_params(num_hashes, seed)
+    based = exploded.withColumn("base", _minhash_base())
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(
+            (F.lit(a[i]) * F.col("base") + F.lit(b[i])) % F.lit(MINHASH_PRIME)
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = exploded.groupBy("doc_id").agg(*aggs)
+    sig = based.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -133,14 +178,21 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = DEFAULT_NU
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                       num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      seed: int = 7) -> DataFrame:
     """MinHash banding → candidate pairs → exact-Jaccard verification.
 
-    band/bucket join keeps the candidate set near-linear; the verify step
-    re-joins shingle sets only for candidates.
+    band/bucket join keeps the candidate set near-linear; the shingle
+    projection is materialized ONCE (lazy local checkpoint) and reused by
+    both the signature aggregation and the candidate verify join — one
+    tokenize+shingle pass over the corpus, not two.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes, id_col, text_col)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), _shingles(n, text_col).alias("shingles")
+    ).localCheckpoint(eager=False)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = _signatures_from_exploded(exploded, num_hashes, seed)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -148,14 +200,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
                     ).alias("bucket"),
                 ),
             )
@@ -172,10 +222,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
         .distinct()
     )
 
-    # verify candidates with exact jaccard
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), _shingles(n, text_col).alias("shingles")
-    )
+    # verify candidates with exact jaccard over the SAME shingle projection
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"),
                             F.col("shingles").alias("sa")), "doc_a")
@@ -195,21 +242,19 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
 # SimHash
 # --------------------------------------------------------------------------
 
-def _fnv1a64(data: bytes) -> int:
-    h = 0xCBF29CE484222325
-    for byte in data:
-        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 @F.pandas_udf(LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (vectorized numpy accumulate)."""
+    """64-bit SimHash over whitespace word tokens.
+
+    Per-token ±1 bit vectors are the 64 leading bits of md5(token),
+    MSB-first (bit j = bit 3-(j%4) of hex digit j//4) — reproducible in
+    ANSI SQL, so the operator has an exact DuckDB twin. Token vectors are
+    memoized per Arrow batch; the accumulate is one numpy add per token
+    and the fingerprint assembly is a single packbits."""
     out = []
-    shifts = np.arange(64, dtype=np.uint64)
     bit_cache: dict[str, np.ndarray] = {}  # token → ±1 bit vector (vocab cache)
     for text in texts:
-        tokens = [t for t in (text or "").lower().split() if t]
+        tokens = (text or "").lower().split()
         if not tokens:
             out.append(0)
             continue
@@ -217,16 +262,17 @@ def simhash64(texts: pd.Series) -> pd.Series:
         for token in tokens:
             bits = bit_cache.get(token)
             if bits is None:
-                h = np.uint64(_fnv1a64(token.encode("utf-8")))
-                bits = np.where(
-                    ((h >> shifts) & np.uint64(1)).astype(np.int64) == 1, 1, -1
+                digest = hashlib.md5(token.encode("utf-8")).digest()[:8]
+                bits = (
+                    np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(
+                        np.int64
+                    )
+                    * 2
+                    - 1
                 )
                 bit_cache[token] = bits
             acc += bits
-        fp = 0
-        for i in range(64):
-            if acc[i] > 0:
-                fp |= 1 << i
+        fp = int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
         # two's-complement into signed 64-bit for Spark LongType
         out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
     return pd.Series(out)
@@ -235,7 +281,10 @@ def simhash64(texts: pd.Series) -> pd.Series:
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-duplicate pairs by SimHash: 16-bit band blocking (any pair within
-    Hamming ≤3 of 64 bits shares ≥1 of 4 bands), then exact Hamming verify."""
+    Hamming ≤3 of 64 bits shares ≥1 of 4 bands), then exact Hamming verify.
+
+    Band b covers bit positions [16b, 16b+16) in MSB-first order — integer
+    bits (63-16b)..(48-16b) — matching the DuckDB oracle's bit-list slices."""
     fp = docs.select(
         F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("fp")
     )
@@ -247,7 +296,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("fp", 16 * i)
+                        F.shiftrightunsigned("fp", 48 - 16 * i)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("piece"),
                     )
@@ -271,7 +320,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     return (
         cand.withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
     )
 
 
@@ -279,18 +328,45 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 # Embedding near-duplicates (cosine)
 # --------------------------------------------------------------------------
 
+def lsh_plane_signs(n_planes_total: int, dim: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes, md5-derived per (plane,
+    dim) cell — a valid sign-LSH family that both Spark and DuckDB can
+    reproduce exactly (the DuckDB oracle interpolates the same matrix)."""
+    planes = []
+    for p in range(n_planes_total):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"pl:{seed}:{p}:{d}".encode("utf-8")).hexdigest()
+            row.append(1.0 if int(h[0], 16) < 8 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def auto_n_planes(n_vectors: int, floor: int = 8) -> int:
+    """Scale plane count with corpus size: ~log2(n) planes keeps the
+    expected bucket occupancy O(1) per sketch, so the in-bucket self-join
+    stays near-linear at 10^9+ vectors (at the cost of per-pair recall,
+    compensated by the staggered sketches)."""
+    return max(floor, int(math.ceil(math.log2(max(n_vectors, 2)))))
+
+
 def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        n_planes: int = 8, n_sketches: int = 4,
+                        n_planes: int | str = 8, n_sketches: int = 4,
                         seed: int = 13) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold: sign-LSH bucket blocking
     (hyperplane sketches; a cos≥0.99 pair collides in ≥1 of the staggered
     sketches with p≈1-(1-0.77)^n_sketches ≈ 0.997 at the defaults),
-    verified exactly on candidates."""
-    rng = np.random.RandomState(seed)
+    verified exactly on candidates.
+
+    ``n_planes="auto"`` sizes the plane count to ~log2(n_vectors) — the
+    scale knob for 10^9+ corpora where a fixed 8 planes (256 buckets)
+    would leave quadratic in-bucket joins."""
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
-    planes = [rng.randn(dim).tolist() for _ in range(n_sketches * n_planes)]
+    if n_planes == "auto":
+        n_planes = auto_n_planes(embeddings.count())
+    planes = lsh_plane_signs(n_sketches * n_planes, dim, seed)
 
     def sketch(plane_set: list[list[float]], name: str):
         bits = [

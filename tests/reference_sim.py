@@ -243,12 +243,18 @@ def _dedupe_doc(entities, rels):
     return out_entities, [rel_map[k] for k in order], id_map
 
 
-def simulate_corpus(pages_rows, chunk_tokens=DEFAULT_SEMANTIC_CHUNK_SIZE):
+def simulate_corpus(pages_rows, chunk_tokens=DEFAULT_SEMANTIC_CHUNK_SIZE,
+                    fuzzy=False):
     """pages rows (dicts with url/html) → (nodes, triples).
 
     nodes: {canonical_id: (name, type)}
     triples: set of (src_name, pred, dst_name, strength) with src/dst ordered
     by canonical id (matching the pipeline's undirected normalization).
+
+    ``fuzzy=True`` replaces the exact (type, compact key) cross-doc rule with
+    the literal O(n²) pairwise ``are_duplicates`` union-find (the within-file
+    matchers of dedupe.ts:102-145 applied corpus-wide) — the naive oracle for
+    the production blocking-key + CC linker.
     """
     all_entities = {}
     all_rels = []
@@ -273,17 +279,45 @@ def simulate_corpus(pages_rows, chunk_tokens=DEFAULT_SEMANTIC_CHUNK_SIZE):
             edge_id = stable_id(url, "edge", r.source_id, r.target_id)
             all_rels.append((edge_id, r))
 
-    # --- cross-doc: L12 exact (type, compact key), canonical = min id ------
-    by_key = defaultdict(list)
-    for e in all_entities.values():
-        by_key[(e.type, compact_name_key(e.name))].append(e)
     id_map = {}
     canon_nodes = {}
-    for (etype, _key), members in by_key.items():
-        canonical = min(members, key=lambda e: e.id)
-        for m in members:
-            id_map[m.id] = canonical.id
-        canon_nodes[canonical.id] = (canonical.name, canonical.type)
+    if fuzzy:
+        # --- cross-doc fuzzy: O(n²) are_duplicates union-find ---------------
+        ents = sorted(all_entities.values(), key=lambda e: e.id)
+        parents = list(range(len(ents)))
+
+        def find(i):
+            while parents[i] != i:
+                parents[i] = parents[parents[i]]
+                i = parents[i]
+            return i
+
+        for i in range(len(ents)):
+            for j in range(i + 1, len(ents)):
+                if are_duplicates(
+                    ents[i].name, ents[i].type, ents[j].name, ents[j].type
+                ):
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parents[rj] = ri
+        groups = defaultdict(list)
+        for i in range(len(ents)):
+            groups[find(i)].append(ents[i])
+        for members in groups.values():
+            canonical = min(members, key=lambda e: e.id)
+            for m in members:
+                id_map[m.id] = canonical.id
+            canon_nodes[canonical.id] = (canonical.name, canonical.type)
+    else:
+        # --- cross-doc: L12 exact (type, compact key), canonical = min id ---
+        by_key = defaultdict(list)
+        for e in all_entities.values():
+            by_key[(e.type, compact_name_key(e.name))].append(e)
+        for (etype, _key), members in by_key.items():
+            canonical = min(members, key=lambda e: e.id)
+            for m in members:
+                id_map[m.id] = canonical.id
+            canon_nodes[canonical.id] = (canonical.name, canonical.type)
 
     # relationship endpoint rewrite, self-loop delete, pair dedupe
     pair_map = {}
