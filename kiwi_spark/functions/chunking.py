@@ -72,47 +72,61 @@ def chunk_text_spans(text: str, max_tokens: int) -> list[tuple[str, int, int]]:
 
 
 def resolve_spans(text: str, chunks: list[str]) -> list[tuple[str, int, int]]:
-    """chunking/span.ts:3-25 — locate each chunk from a moving cursor."""
+    """chunking/span.ts:3-25, exact semantics: blank chunks skipped; the
+    emitted content is always the ORIGINAL chunk; an unlocatable chunk gets
+    the degenerate span (cursor, cursor) and does NOT advance the cursor."""
     out: list[tuple[str, int, int]] = []
     cursor = 0
     for chunk in chunks:
-        idx = text.find(chunk, cursor)
-        if idx < 0:
-            trimmed = chunk.strip()
-            idx = text.find(trimmed, cursor) if trimmed else -1
-            if idx >= 0:
-                chunk = trimmed
-        if idx >= 0:
-            end = idx + len(chunk)
-        else:
-            # whitespace-insensitive fallback (span.ts:53-116): map through a
-            # whitespace-collapsed view of both strings
-            span = _fuzzy_find(text, chunk, cursor)
-            if span is None:
-                idx, end = cursor, cursor + len(chunk)
-            else:
-                idx, end = span
-        out.append((chunk, idx, end))
-        cursor = end
+        if not chunk.strip():
+            continue
+        span = _locate_chunk(text, chunk, cursor)
+        if span is None:
+            out.append((chunk, cursor, cursor))
+            continue
+        out.append((chunk, span[0], span[1]))
+        cursor = span[1]
     return out
 
 
+def _locate_chunk(text: str, chunk: str, cursor: int) -> tuple[int, int] | None:
+    """span.ts:27-50 — exact find, then trimmed find, then the
+    whitespace-normalized index fallback."""
+    idx = text.find(chunk, cursor)
+    if idx >= 0:
+        return idx, idx + len(chunk)
+    trimmed = chunk.strip()
+    t_idx = text.find(trimmed, cursor) if trimmed else -1
+    if t_idx >= 0:
+        return t_idx, t_idx + len(trimmed)
+    return _fuzzy_find(text, chunk, cursor)
+
+
 def _fuzzy_find(text: str, chunk: str, cursor: int) -> tuple[int, int] | None:
-    compact_chunk = "".join(chunk.split())
-    if not compact_chunk:
+    """span.ts:53-116 — whitespace runs collapse to a single space on both
+    sides; matched offsets map back through the normalized-index table."""
+    needle = " ".join(chunk.split())
+    if not needle:
         return None
-    # index map from compacted text → original offsets
-    compact_chars: list[str] = []
-    offsets: list[int] = []
-    for i in range(cursor, len(text)):
+    normalized: list[str] = []
+    index_map: list[int] = []
+    pending_ws: int | None = None
+    for i in range(max(0, cursor), len(text)):
         ch = text[i]
-        if not ch.isspace():
-            compact_chars.append(ch)
-            offsets.append(i)
-    pos = "".join(compact_chars).find(compact_chunk)
+        if ch.isspace():
+            if normalized and pending_ws is None:
+                pending_ws = i
+            continue
+        if pending_ws is not None:
+            normalized.append(" ")
+            index_map.append(pending_ws)
+            pending_ws = None
+        normalized.append(ch)
+        index_map.append(i)
+    pos = "".join(normalized).find(needle)
     if pos < 0:
         return None
-    return offsets[pos], offsets[pos + len(compact_chunk) - 1] + 1
+    return index_map[pos], index_map[pos + len(needle) - 1] + 1
 
 
 def _join_parts(left: str, right: str) -> str:

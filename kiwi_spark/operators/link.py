@@ -280,18 +280,53 @@ def canonicalize(
     Reference semantics (process-file.ts): canonical row keeps its attrs;
     sources repointed (n_sources summed); self-loops deleted (:749-753);
     undirected pair dedupe keeps min-id row with max(rank) (:755-857).
+    The canonical description is the L14 fold over member descriptions in
+    entity_id order (chunks of 300, tail≤25 merged — description.ts:6-64;
+    deterministic compressor, see functions.descriptions). Member
+    descriptions are capped at FOLD_MEMBER_CAP per group (the compressor
+    saturates after ~2 chunks, and an uncapped collect_list over a
+    10^8-member head entity would OOM an executor).
     """
+    from pyspark.sql.types import StringType
+    from pyspark.sql.window import Window
+
+    from ..functions.descriptions import fold_description
+
+    @F.pandas_udf(StringType())
+    def fold_desc_udf(descs: pd.Series) -> pd.Series:
+        return pd.Series([fold_description(d) for d in descs])
+
+    FOLD_MEMBER_CAP = 600  # two fold chunks; compressor saturates after that
+
     nd = nodes_doc.join(id_map, "entity_id")
+    w = Window.partitionBy("canonical_id").orderBy("entity_id")
+    folded = (
+        nd.select("canonical_id", "entity_id", "description")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= FOLD_MEMBER_CAP)
+        .groupBy("canonical_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("entity_id", "description"))
+            ).alias("_ds")
+        )
+        .select(
+            "canonical_id",
+            fold_desc_udf(
+                F.transform("_ds", lambda s: s["description"])
+            ).alias("description"),
+        )
+    )
     nodes = nd.groupBy("canonical_id").agg(
-        F.min_by(F.struct("name", "type", "description"), "entity_id").alias("attrs"),
+        F.min_by(F.struct("name", "type"), "entity_id").alias("attrs"),
         F.sum("n_sources").alias("n_sources"),
         F.count("*").alias("n_merged"),
         F.countDistinct("url").alias("n_urls"),
-    ).select(
+    ).join(folded, "canonical_id").select(
         F.col("canonical_id").alias("entity_id"),
         F.col("attrs.name").alias("name"),
         F.col("attrs.type").alias("type"),
-        F.col("attrs.description").alias("description"),
+        "description",
         "n_sources",
         "n_merged",
         "n_urls",

@@ -1,11 +1,15 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual codec work is STUBBED because
-this environment ships no image/audio libraries. Each decode function
-raises ``NotImplementedError`` unless ``fake=True``, in which case it
-produces a deterministic fake derived from the bytes — so the pipeline
-shape (including batch sizes and schema evolution) is exercised end-to-end.
+signatures) is real and tested. Codecs:
+
+* REAL pure-Python decoders for the container formats that need no external
+  library: uncompressed 24-bit BMP (``decode_image_features`` — width,
+  height, true mean luma, 8×8 average-hash) and PCM-16 RIFF/WAVE
+  (``decode_audio_features`` — sample rate, channels, duration, RMS, peak).
+* Other formats (JPEG/PNG/MP4…) require PIL/pyav, absent in this
+  environment — those paths raise ``NotImplementedError`` unless
+  ``fake=True`` (deterministic bytes-derived fake for plumbing tests).
 
 Replacing a stub in production = swapping the marked section for
 PIL/torchaudio/pyav calls inside the same mapInPandas generator.
@@ -14,6 +18,7 @@ PIL/torchaudio/pyav calls inside the same mapInPandas generator.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame
 
@@ -26,9 +31,104 @@ IMAGE_FEATURES_SCHEMA = (
     "asset_id string, width int, height int, mean_luma double, phash long"
 )
 
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id string, sample_rate int, n_channels int, duration_ms long, "
+    "rms double, peak double"
+)
+
 FRAME_SAMPLE_SCHEMA = (
     "asset_id string, frame_index int, ts_ms long, frame binary"
 )
+
+
+def decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP → (width, height, luma ndarray) or None.
+
+    Pure Python/numpy: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER,
+    bottom-up rows 4-byte padded (top-down when height < 0), BGR order,
+    ITU-R BT.601 luma.
+    """
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_offset = int.from_bytes(payload[10:14], "little")
+    header_size = int.from_bytes(payload[14:18], "little")
+    if header_size < 40:
+        return None
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    top_down = height < 0
+    h = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    if len(payload) < data_offset + row_size * h:
+        return None
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)
+    px = arr[:, : width * 3].reshape(h, width, 3).astype(np.float64)  # BGR
+    if not top_down:
+        px = px[::-1]
+    luma = 0.114 * px[..., 0] + 0.587 * px[..., 1] + 0.299 * px[..., 2]
+    return width, h, luma
+
+
+def ahash64(luma) -> int:
+    """8×8 average hash over a luma plane (grid-sampled, mean-thresholded),
+    packed MSB-first into a signed 64-bit int."""
+    import numpy as np
+
+    h, w = luma.shape
+    ys = np.linspace(0, h - 1, 8).astype(int)
+    xs = np.linspace(0, w - 1, 8).astype(int)
+    grid = luma[np.ix_(ys, xs)]
+    bits = (grid > grid.mean()).astype(np.uint8).ravel()
+    value = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def decode_wav(payload: bytes):
+    """PCM-16 RIFF/WAVE → (sample_rate, n_channels, duration_ms, rms, peak)
+    or None. Walks the chunk list (word-aligned), fmt + data required."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or n_channels < 1 or sample_rate <= 0:
+        return None
+    frame_bytes = 2 * n_channels
+    usable = len(data) // frame_bytes * frame_bytes
+    samples = (
+        np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+    )
+    n_frames = usable // frame_bytes
+    duration_ms = n_frames * 1000 // sample_rate
+    if len(samples) == 0:
+        return sample_rate, n_channels, duration_ms, 0.0, 0.0
+    rms = float(math.sqrt(float((samples * samples).mean())))
+    peak = float(abs(samples).max())
+    return sample_rate, n_channels, int(duration_ms), rms, peak
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int]:
@@ -39,7 +139,8 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     """images → (width, height, mean luma, perceptual hash).
 
-    Real implementation: PIL decode + 8x8 DCT pHash — STUBBED.
+    BMP payloads are decoded for REAL (pure numpy, see decode_bmp/ahash64);
+    other formats need PIL — STUBBED behind ``fake=True``.
     """
 
     def process(batches):
@@ -50,18 +151,25 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
             for row in batch.itertuples(index=False):
                 if row.kind != "image":
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "image decoding requires PIL — not available in this "
-                        "environment; pass fake=True for plumbing tests"
-                    )
-                # --- STUB: deterministic fake decode -----------------------
                 payload = bytes(row.payload or b"")
-                width, height = _fake_dims(payload)
-                digest = hashlib.blake2b(payload, digest_size=16).digest()
-                mean_luma = digest[2] / 255.0
-                phash = int.from_bytes(digest[8:16], "big", signed=True)
-                # -----------------------------------------------------------
+                decoded = decode_bmp(payload)
+                if decoded is not None:
+                    width, height, luma = decoded
+                    mean_luma = float(luma.mean()) / 255.0
+                    phash = ahash64(luma)
+                elif not fake:
+                    raise NotImplementedError(
+                        "non-BMP image decoding requires PIL — not available "
+                        "in this environment; pass fake=True for plumbing "
+                        "tests"
+                    )
+                else:
+                    # --- STUB: deterministic fake decode -------------------
+                    width, height = _fake_dims(payload)
+                    digest = hashlib.blake2b(payload, digest_size=16).digest()
+                    mean_luma = digest[2] / 255.0
+                    phash = int.from_bytes(digest[8:16], "big", signed=True)
+                    # -------------------------------------------------------
                 rows.append(
                     {
                         "asset_id": row.asset_id,
@@ -76,6 +184,58 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return assets.mapInPandas(process, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def decode_audio_features(assets: DataFrame, fake: bool = False) -> DataFrame:
+    """audio → (sample_rate, n_channels, duration_ms, rms, peak).
+
+    PCM-16 WAV payloads are decoded for REAL (decode_wav); other formats
+    need torchaudio/ffmpeg — STUBBED behind ``fake=True``.
+    """
+
+    def process(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for row in batch.itertuples(index=False):
+                if row.kind != "audio":
+                    continue
+                payload = bytes(row.payload or b"")
+                decoded = decode_wav(payload)
+                if decoded is not None:
+                    sample_rate, n_channels, duration_ms, rms, peak = decoded
+                elif not fake:
+                    raise NotImplementedError(
+                        "non-WAV audio decoding requires torchaudio/ffmpeg — "
+                        "not available; pass fake=True for plumbing tests"
+                    )
+                else:
+                    # --- STUB: deterministic fake decode -------------------
+                    digest = hashlib.blake2b(payload, digest_size=8).digest()
+                    sample_rate, n_channels = 16000, 1
+                    duration_ms = 1000 + digest[0] * 16
+                    rms, peak = digest[1] / 512.0, digest[2] / 255.0
+                    # -------------------------------------------------------
+                rows.append(
+                    {
+                        "asset_id": row.asset_id,
+                        "sample_rate": sample_rate,
+                        "n_channels": n_channels,
+                        "duration_ms": duration_ms,
+                        "rms": rms,
+                        "peak": peak,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_channels", "duration_ms",
+                    "rms", "peak",
+                ],
+            )
+
+    return assets.mapInPandas(process, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(assets: DataFrame, every_ms: int = 1000,

@@ -12,8 +12,9 @@ from kiwi_spark.functions.chunkers_structured import (
 
 
 def test_single():
-    assert chunk_single("  whole thing  ") == ["whole thing"]
-    assert chunk_single("   ") == []
+    # single.ts: verbatim, even when empty (loader/__tests__/single cases)
+    assert chunk_single("hello\nworld") == ["hello\nworld"]
+    assert chunk_single("") == [""]
 
 
 def test_csv_header_reemitted():
@@ -43,8 +44,58 @@ def test_json_array_split():
     doc = json.dumps([{"k": i, "text": "word " * 30} for i in range(40)])
     chunks = chunk_json(doc, 100)
     assert len(chunks) > 1
-    recs = [json.loads(line) for c in chunks for line in c.splitlines()]
+    # each chunk is a pretty-printed JSON array slice; order preserved
+    recs = [r for c in chunks for r in json.loads(c)]
     assert [r["k"] for r in recs] == list(range(40))
+
+
+def test_json_reference_cases():
+    """Ported from chunking/__tests__/json.test.ts."""
+    assert chunk_json("", 100) == []
+    small = '{"name":"Alice","age":30}'
+    assert chunk_json(small, 100) == [small]
+    # splits large top-level objects preserving document key order
+    doc = '{"zebra":"' + "a " * 30 + '","alpha":"' + "b " * 30 + '","middle":"' + "c " * 30 + '"}'
+    chunks = chunk_json(doc, 40)
+    assert len(chunks) == 3
+    assert '"zebra"' in chunks[0]
+    assert '"alpha"' in chunks[1]
+    assert '"middle"' in chunks[2]
+    # path prefixes for recursively split nested values
+    nested = json.dumps({"data": {"a": "x" * 120, "b": "y" * 120}})
+    chunks = chunk_json(nested, 20)
+    assert len(chunks) > 1
+    assert all(c.startswith("Path: $.data") for c in chunks)
+    # invalid json falls back to a single chunk
+    bad = "{not valid json: [}"
+    assert chunk_json(bad, 10) == [bad]
+    # JSONC: comments + trailing commas normalized
+    jsonc = '{\n// note\n"a": "' + "x " * 10 + '",\n"b": "' + "y " * 10 + '",\n}'
+    chunks = chunk_json(jsonc, 20)
+    assert len(chunks) == 2
+    assert '"a"' in chunks[0] and '"b"' in chunks[1]
+
+
+def test_csv_reference_cases():
+    """Ported from chunking/__tests__/csv.test.ts."""
+    import pytest
+
+    assert chunk_csv("", 100) == []
+    assert chunk_csv("name,age,email", 100) == ["name,age,email"]
+    # splits only between complete quoted rows
+    doc = 'id,note\n1,"first line\nsecond line"\n2,next'
+    assert chunk_csv(doc, 4) == ['id,note\n1,"first line\nsecond line"', "id,note\n2,next"]
+    # rejects malformed quoted rows
+    from kiwi_spark.functions.chunkers_structured import CSVParseError
+
+    with pytest.raises(CSVParseError):
+        chunk_csv('id,note\n1,"unterminated', 100)
+    # keeps an oversized row intact
+    long_value = " ".join(f"word{i}" for i in range(50))
+    doc = f"id,description\n1,{long_value}\n2,short"
+    assert chunk_csv(doc, 4) == [f"id,description\n1,{long_value}", "id,description\n2,short"]
+    # no header → first row not duplicated
+    assert chunk_csv("1,Alice\n2,Bob\n3,Charlie", 1) == ["1,Alice", "2,Bob", "3,Charlie"]
 
 
 def test_json_lines_split():
