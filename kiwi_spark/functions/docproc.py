@@ -34,9 +34,16 @@ from .chunking import (
     DEFAULT_SOURCE_CHUNK_TOKENS,
     _TEXT,
     _split_into_segments,
+    chunk_text,
     chunk_text_spans,
+    resolve_spans,
 )
 from .extract_grammar import extract_sentence
+from .source_chunks import (
+    IMAGE_TAG_PATTERN,
+    decode_xml,
+    get_xml_attribute,
+)
 from .ids import stable_id
 from .linking import (
     are_duplicates,
@@ -59,11 +66,50 @@ class DocGraph:
     mentions: list[dict] = field(default_factory=list)  # Source rows
 
 
-def _overlapping_chunk_ids(
-    spans: list[tuple[str, int, int]], start: int, end: int
-) -> list[int]:
+def _source_chunk_spans(content: str, max_tokens: int) -> list[tuple]:
+    """Source chunks with offsets: (text, start, end, type, image_id,
+    image_key). Embedded ``<image id,key>`` tags are indivisible image
+    chunks (lib/source-chunk.ts:6-85); plain text takes the fast path."""
+    if "<image" not in content:
+        return [
+            (c, s, e, "text", None, None)
+            for (c, s, e) in chunk_text_spans(content, max_tokens)
+        ]
+    out: list[tuple] = []
+
+    def add_text(region_start: int, region_end: int) -> None:
+        piece = content[region_start:region_end]
+        for c, s, e in resolve_spans(piece, chunk_text(piece, max_tokens)):
+            if c.strip():
+                out.append(
+                    (c, region_start + s, region_start + e, "text", None, None)
+                )
+
+    cursor = 0
+    for match in IMAGE_TAG_PATTERN.finditer(content):
+        add_text(cursor, match.start())
+        attributes = match.group(1) or ""
+        description = decode_xml(match.group(2) or "").strip()
+        out.append(
+            (
+                description,
+                match.start(),
+                match.end(),
+                "image",
+                get_xml_attribute(attributes, "id"),
+                get_xml_attribute(attributes, "key"),
+            )
+        )
+        cursor = match.end()
+    add_text(cursor, len(content))
+    return out
+
+
+def _overlapping_chunk_ids(spans: list[tuple], start: int, end: int) -> list[int]:
     ids = [
-        i for i, (_, s, e) in enumerate(spans) if not (end <= s or start >= e)
+        i
+        for i, span in enumerate(spans)
+        if not (end <= span[1] or start >= span[2])
     ]
     # normalizeSourceChunkIds: dedupe (order-preserving), cap 8, single-chunk
     # fallback (unit.ts:142-166)
@@ -92,7 +138,7 @@ def process_document(
     unit_graphs: list[tuple[dict, dict, list]] = []  # (entities, rel_list)
     for unit_index, (content, u_start, u_end) in enumerate(unit_spans):
         unit_id = stable_id(url, "u", unit_index)
-        source_chunks = chunk_text_spans(content, source_chunk_tokens)
+        source_chunks = _source_chunk_spans(content, source_chunk_tokens)
         doc.units.append(  # noqa: the units row is built in both modes
             {
                 "unit_id": unit_id,
@@ -102,8 +148,16 @@ def process_document(
                 "start_offset": u_start,
                 "end_offset": u_end,
                 "source_chunks": [
-                    {"id": i, "text": c, "start_offset": s, "end_offset": e}
-                    for i, (c, s, e) in enumerate(source_chunks)
+                    {
+                        "id": i,
+                        "text": sc[0],
+                        "start_offset": sc[1],
+                        "end_offset": sc[2],
+                        "type": sc[3],
+                        "image_id": sc[4],
+                        "image_key": sc[5],
+                    }
+                    for i, sc in enumerate(source_chunks)
                 ],
             }
         )

@@ -24,14 +24,14 @@ from ..functions.docproc import process_document
 UNITS_SCHEMA = (
     "unit_id string, url string, unit_index int, content string, "
     "start_offset long, end_offset long, "
-    "source_chunks array<struct<id:int, text:string, start_offset:long, end_offset:long>>"
+    "source_chunks array<struct<id:int, text:string, start_offset:long, end_offset:long, type:string, image_id:string, image_key:string>>"
 )
 
 _GRAPH_ROW_SCHEMA = (
     "url string, "
     "units array<struct<unit_id:string, url:string, unit_index:int, content:string, "
     "start_offset:long, end_offset:long, "
-    "source_chunks:array<struct<id:int, text:string, start_offset:long, end_offset:long>>>>, "
+    "source_chunks:array<struct<id:int, text:string, start_offset:long, end_offset:long, type:string, image_id:string, image_key:string>>>>, "
     "entities array<struct<entity_id:string, url:string, name:string, type:string, "
     "description:string, n_sources:int>>, "
     "edges array<struct<edge_id:string, url:string, src_id:string, dst_id:string, "

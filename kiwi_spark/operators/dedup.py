@@ -57,6 +57,18 @@ def minhash_params(num_hashes: int, seed: int = 7) -> tuple[list[int], list[int]
     return a, b
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a small scan out to cluster parallelism before CPU-heavy
+    shingle/hash stages. A compact parquet file arrives as ONE split (scan
+    cost ≪ maxPartitionBytes) and would serialize the whole operator onto a
+    single core; at 100-TB scale the scan already has thousands of splits
+    and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _tokens(col: str = "text"):
     return F.split(
         F.trim(F.regexp_replace(F.lower(F.col(col)), r"[^a-z0-9]+", " ")), r"\s+"
@@ -102,7 +114,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                         max_shingle_df: int | None = None) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets for all pairs sharing ≥1
     shingle. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("doc_id"), _shingles(n, text_col).alias("shingles")
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
@@ -154,7 +166,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = DEFAULT_NU
                        id_col: str = "doc_id", text_col: str = "text",
                        seed: int = 7) -> DataFrame:
     """(doc_id, sig array<long>) — k multiply-shift min-hashes, all JVM-side."""
-    exploded = docs.select(
+    exploded = _spread(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(_shingles(n, text_col)).alias("shingle")
     )
     return _signatures_from_exploded(exploded, num_hashes, seed)
@@ -188,7 +200,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     tokenize+shingle pass over the corpus, not two.
     """
     rows_per_band = num_hashes // bands
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("doc_id"), _shingles(n, text_col).alias("shingles")
     ).localCheckpoint(eager=False)
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
@@ -285,7 +297,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
     Band b covers bit positions [16b, 16b+16) in MSB-first order — integer
     bits (63-16b)..(48-16b) — matching the DuckDB oracle's bit-list slices."""
-    fp = docs.select(
+    fp = _spread(docs).select(
         F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("fp")
     )
     bands = fp.select(

@@ -68,21 +68,77 @@ def _trigrams(value: str) -> set[str]:
 
 
 def make_trigram_udf(term: str):
-    term_grams = _trigrams(term)
+    return make_multi_trigram_udf([term])
+
+
+def make_multi_trigram_udf(terms: list[str]):
+    """max over search terms of pg_trgm-style similarity(value, term) —
+    the multi-term keyword boost (entity.ts:42-44, relationship.ts:35-43),
+    one Arrow-vectorized UDF for the whole term list."""
+    term_grams = [g for g in (_trigrams(t) for t in terms) if g]
 
     @F.pandas_udf(DoubleType())
     def trigram_sim(values: pd.Series) -> pd.Series:
         def sim(v):
             grams = _trigrams(v or "")
-            if not grams or not term_grams:
+            if not grams:
                 return 0.0
-            inter = len(grams & term_grams)
-            union = len(grams | term_grams)
-            return inter / union if union else 0.0
+            best = 0.0
+            for tg in term_grams:
+                union = len(grams | tg)
+                if union:
+                    s = len(grams & tg) / union
+                    if s > best:
+                        best = s
+            return best
 
         return values.map(sim)
 
     return trigram_sim
+
+
+def unique_terms(values: list[str]) -> list[str]:
+    """search.ts:14-16 — trimmed, deduped, order-preserving."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for value in values:
+        term = (value or "").strip()
+        if term and term not in seen:
+            seen.add(term)
+            out.append(term)
+    return out
+
+
+def _exact_boost(terms: list[str], name_col: str) -> Column:
+    """entity.ts:46-57 — greatest over terms of (EXACT on lower-equal,
+    PREFIX on case-insensitive prefix)."""
+    cases = []
+    for term in terms:
+        lt = term.lower()
+        cases.append(
+            F.when(F.lower(F.col(name_col)) == lt, F.lit(EXACT_BOOST))
+            .when(F.lower(F.col(name_col)).startswith(lt), F.lit(PREFIX_BOOST))
+            .otherwise(F.lit(0.0))
+        )
+    return F.greatest(*cases) if len(cases) > 1 else cases[0]
+
+
+def _rel_exact_boost(terms: list[str], src_col: str, dst_col: str) -> Column:
+    """relationship.ts:45-58 — per-term CASE over both endpoint names
+    (exact on either beats prefix on either)."""
+    src = F.lower(F.coalesce(F.col(src_col), F.lit("")))
+    dst = F.lower(F.coalesce(F.col(dst_col), F.lit("")))
+    cases = []
+    for term in terms:
+        lt = term.lower()
+        cases.append(
+            F.when(src == lt, F.lit(EXACT_BOOST))
+            .when(dst == lt, F.lit(EXACT_BOOST))
+            .when(src.startswith(lt), F.lit(PREFIX_BOOST))
+            .when(dst.startswith(lt), F.lit(PREFIX_BOOST))
+            .otherwise(F.lit(0.0))
+        )
+    return F.greatest(*cases) if len(cases) > 1 else cases[0]
 
 
 def hybrid_score(
@@ -135,20 +191,34 @@ def list_files(pages: DataFrame, name_filter: str | None = None, limit: int = 20
 def search_entities(nodes: DataFrame, query_text: str, limit: int = 10,
                     cursor: tuple | None = None,
                     urls: list[str] | None = None,
-                    mentions: DataFrame | None = None) -> DataFrame:
+                    mentions: DataFrame | None = None,
+                    keywords: list[str] | None = None) -> DataFrame:
+    """entity.ts:104-200 — semantic primary, multi-term keyword + exact/
+    prefix boosts: terms = uniqueTerms(keywords + query); semantic embeds
+    the query text only; keyword boost = max trigram similarity over terms;
+    recall filter = semantic≥0.02 OR raw keyword≥0.08 OR exact>0."""
     if urls and mentions is not None:
         # optional file scope via EXISTS over sources (entity.ts:64-76)
         scoped = mentions.where(F.col("url").isin(urls)).select("entity_id").distinct()
         nodes = nodes.join(scoped, "entity_id", "left_semi")
-    score = hybrid_score(query_text, "name", "embedding")
-    trg = make_trigram_udf(query_text)(F.col("name"))
-    ranked = nodes.withColumn("score", score).withColumn("_kw", trg)
-    # entity.ts:170-174 — recall filter uses the RAW trigram similarity
-    # (similarity >= 0.08), not the 0.15-weighted score term.
+    terms = unique_terms([*(keywords or []), query_text])
+    sem = F.greatest(F.lit(0.0), cosine_to(embed_query(query_text), "embedding"))
+    kw = make_multi_trigram_udf(terms)(F.col("name"))
+    exact = _exact_boost(terms, "name")
+    ranked = (
+        nodes.withColumn("_sem", sem)
+        .withColumn("_kw", kw)
+        .withColumn("_exact", exact)
+        .withColumn(
+            "score",
+            F.col("_sem") + F.lit(KEYWORD_WEIGHT) * F.col("_kw") + F.col("_exact"),
+        )
+    )
     filtered = ranked.where(
-        (F.col("score") - F.lit(KEYWORD_WEIGHT) * F.col("_kw") >= MIN_SEMANTIC_SCORE)
+        (F.col("_sem") >= MIN_SEMANTIC_SCORE)
         | (F.col("_kw") >= MIN_KEYWORD_BOOST)
-    ).drop("_kw")
+        | (F.col("_exact") > 0)
+    ).drop("_sem", "_kw", "_exact")
     filtered = _keyset(filtered, cursor, "score", "entity_id")
     return (
         filtered.select("entity_id", "name", "type", "description", "n_sources", "score")
@@ -208,20 +278,34 @@ def _edges_with_names(edges: DataFrame, nodes: DataFrame) -> DataFrame:
 
 
 def search_relationships(edges: DataFrame, nodes: DataFrame, query_text: str,
-                         limit: int = 10, cursor: tuple | None = None) -> DataFrame:
+                         limit: int = 10, cursor: tuple | None = None,
+                         keywords: list[str] | None = None) -> DataFrame:
+    """relationship.ts:35-232 — keyword boost = max trigram similarity over
+    terms × (description, src name, dst name); exact boost = per-term CASE
+    over endpoint names; filter semantic≥0.02 OR keyword≥0.08 OR exact>0."""
     df = _edges_with_names(edges, nodes)
-    trg = make_trigram_udf(query_text)
+    terms = unique_terms([*(keywords or []), query_text])
+    trg = make_multi_trigram_udf(terms)
     combined_kw = F.greatest(
-        trg(F.col("description")), trg(F.col("src_name")), trg(F.col("dst_name"))
+        trg(F.col("description")),
+        trg(F.coalesce(F.col("src_name"), F.lit(""))),
+        trg(F.coalesce(F.col("dst_name"), F.lit(""))),
     )
-    qvec = embed_query(query_text)
-    sem = F.greatest(F.lit(0.0), cosine_to(qvec, "embedding"))
-    df = df.withColumn("score", sem + F.lit(KEYWORD_WEIGHT) * combined_kw)
-    # graph.ts:218 / entity.ts:170-174 — raw keyword similarity in the filter
+    sem = F.greatest(F.lit(0.0), cosine_to(embed_query(query_text), "embedding"))
+    df = (
+        df.withColumn("_sem", sem)
+        .withColumn("_kw", combined_kw)
+        .withColumn("_exact", _rel_exact_boost(terms, "src_name", "dst_name"))
+        .withColumn(
+            "score",
+            F.col("_sem") + F.lit(KEYWORD_WEIGHT) * F.col("_kw") + F.col("_exact"),
+        )
+    )
     df = df.where(
-        (F.col("score") - F.lit(KEYWORD_WEIGHT) * combined_kw >= MIN_SEMANTIC_SCORE)
-        | (combined_kw >= MIN_KEYWORD_BOOST)
-    )
+        (F.col("_sem") >= MIN_SEMANTIC_SCORE)
+        | (F.col("_kw") >= MIN_KEYWORD_BOOST)
+        | (F.col("_exact") > 0)
+    ).drop("_sem", "_kw", "_exact")
     df = _keyset(df, cursor, "score", "edge_id")
     return (
         df.select(

@@ -48,6 +48,37 @@ def test_search_entities_exact_boost(graph):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_search_entities_multi_term_keywords(graph):
+    """entity.ts:124-133 — terms = uniqueTerms(keywords + query): an exact
+    name passed as a KEYWORD must surface the entity even when the main
+    query is unrelated."""
+    target = graph["nodes"].orderBy(F.desc("n_sources")).first()
+    got = Q.search_entities(
+        graph["nodes"],
+        "completely unrelated nonsense query xyzzy",
+        limit=5,
+        keywords=[target["name"]],
+    ).collect()
+    assert got, "no results"
+    assert got[0]["name"] == target["name"]
+    # exact boost path: score includes EXACT_BOOST even though the semantic
+    # score of the unrelated query is near zero
+    assert got[0]["score"] >= Q.EXACT_BOOST
+
+
+def test_search_relationships_multi_term_keywords(graph):
+    edge = graph["edges"].first()
+    src_name = (
+        graph["nodes"].where(F.col("entity_id") == edge["src_id"]).first()["name"]
+    )
+    got = Q.search_relationships(
+        graph["edges"], graph["nodes"], "unrelated zzz query",
+        limit=10, keywords=[src_name],
+    ).collect()
+    assert got
+    assert any(r["src_name"] == src_name or r["dst_name"] == src_name for r in got)
+
+
 def test_list_entities_pagination_and_scope(graph):
     page1 = Q.list_entities(graph["nodes"], limit=10).collect()
     ids = [r["entity_id"] for r in page1]
