@@ -66,6 +66,18 @@ class DocGraph:
     mentions: list[dict] = field(default_factory=list)  # Source rows
 
 
+def _unit_spans_for_type(file_type: str, text: str, chunk_tokens: int):
+    """Chunker selection by file type (chunking/factory.ts:42-96): the
+    semantic types keep the byte-identity fast path; structured formats get
+    their dedicated chunkers with spans resolved against the text."""
+    from .chunkers_structured import CHUNKER_TABLE, chunk_for_type
+
+    kind, _default = CHUNKER_TABLE.get(file_type, ("semantic", chunk_tokens))
+    if kind == "semantic":
+        return chunk_text_spans(text, chunk_tokens)
+    return resolve_spans(text, chunk_for_type(file_type, text))
+
+
 def _source_chunk_spans(content: str, max_tokens: int) -> list[tuple]:
     """Source chunks with offsets: (text, start, end, type, image_id,
     image_key). Embedded ``<image id,key>`` tags are indivisible image
@@ -130,9 +142,10 @@ def process_document(
     chunk_tokens: int = DEFAULT_SEMANTIC_CHUNK_SIZE,
     source_chunk_tokens: int = DEFAULT_SOURCE_CHUNK_TOKENS,
     units_only: bool = False,
+    file_type: str = "html",
 ) -> DocGraph:
     doc = DocGraph(url=url)
-    unit_spans = chunk_text_spans(text, chunk_tokens)
+    unit_spans = _unit_spans_for_type(file_type, text, chunk_tokens)
 
     # --- per-unit extraction (unit.ts processUnit, deterministic) ---------
     unit_graphs: list[tuple[dict, dict, list]] = []  # (entities, rel_list)

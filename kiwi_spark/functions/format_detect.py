@@ -23,8 +23,14 @@ _MIME_MAP = {
     "application/yaml": "yaml",
     "application/toml": "toml",
     "message/rfc822": "email",
+    "application/mbox": "mbox",
     "text/calendar": "calendar",
     "text/vcard": "vcard",
+    "application/xml": "xml",
+    "text/xml": "xml",
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document": "docx",
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet": "xlsx",
+    "application/vnd.openxmlformats-officedocument.presentationml.presentation": "pptx",
     "image/png": "image",
     "image/jpeg": "image",
     "image/gif": "image",
@@ -38,7 +44,9 @@ _EXT_MAP = {
     "pdf": "pdf", "csv": "csv", "tsv": "csv",
     "json": "json", "jsonl": "json", "ndjson": "json",
     "yaml": "yaml", "yml": "yaml", "toml": "toml",
-    "eml": "email", "ics": "calendar", "vcf": "vcard",
+    "eml": "email", "mbox": "mbox", "ics": "calendar", "vcf": "vcard",
+    "xml": "xml",
+    "docx": "docx", "xlsx": "xlsx", "pptx": "pptx",
     "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
     "webp": "image",
 }
@@ -78,6 +86,27 @@ def detect_format(
             return "calendar"
         if lower.startswith(b"begin:vcard"):
             return "vcard"
+        if content.startswith(b"From ") and b"\n" in content[:2048]:
+            return "mbox"
+        if content.startswith(b"PK\x03\x04"):
+            # OOXML container — inspect the zip directory for the part root
+            import io
+            import zipfile
+
+            try:
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    names = zf.namelist()
+            except Exception:
+                names = []
+            if any(n.startswith("word/") for n in names):
+                return "docx"
+            if any(n.startswith("xl/") for n in names):
+                return "xlsx"
+            if any(n.startswith("ppt/") for n in names):
+                return "pptx"
+        if lower.startswith(b"<?xml"):
+            # declared xml (the loader validates and falls back verbatim)
+            return "xml"
     if mime:
         base = mime.split(";")[0].strip().lower()
         if base in _MIME_MAP:

@@ -56,7 +56,10 @@ def graph_rows_df(text_df: DataFrame) -> DataFrame:
             for row in batch.itertuples(index=False):
                 if getattr(row, "error_code", None):
                     continue
-                doc = process_document(row.url, row.text)
+                doc = process_document(
+                    row.url, row.text,
+                    file_type=getattr(row, "file_type", None) or "html",
+                )
                 rows.append(
                     {
                         "url": doc.url,
