@@ -46,6 +46,7 @@ CHUNKER_TABLE = {
     "yaml": ("yaml", DEFAULT_STRUCTURED_CHUNK_SIZE),
     "toml": ("toml", DEFAULT_STRUCTURED_CHUNK_SIZE),
     "email": ("email", DEFAULT_STRUCTURED_CHUNK_SIZE),
+    "mbox": ("email", DEFAULT_STRUCTURED_CHUNK_SIZE),
     "calendar": ("calendar", DEFAULT_STRUCTURED_CHUNK_SIZE),
     "vcard": ("vcard", DEFAULT_STRUCTURED_CHUNK_SIZE),
     "transcript": ("transcript", DEFAULT_STRUCTURED_CHUNK_SIZE),

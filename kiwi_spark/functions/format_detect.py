@@ -31,6 +31,8 @@ _MIME_MAP = {
     "application/vnd.openxmlformats-officedocument.wordprocessingml.document": "docx",
     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet": "xlsx",
     "application/vnd.openxmlformats-officedocument.presentationml.presentation": "pptx",
+    "application/vnd.oasis.opendocument.text": "odt",
+    "application/vnd.oasis.opendocument.presentation": "odp",
     "image/png": "image",
     "image/jpeg": "image",
     "image/gif": "image",
@@ -47,6 +49,7 @@ _EXT_MAP = {
     "eml": "email", "mbox": "mbox", "ics": "calendar", "vcf": "vcard",
     "xml": "xml",
     "docx": "docx", "xlsx": "xlsx", "pptx": "pptx",
+    "odt": "odt", "odp": "odp",
     "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
     "webp": "image",
 }
@@ -98,6 +101,16 @@ def detect_format(
                     names = zf.namelist()
             except Exception:
                 names = []
+            if "mimetype" in names:
+                try:
+                    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                        odf_mime = zf.read("mimetype").decode("ascii", "ignore")
+                except Exception:
+                    odf_mime = ""
+                if odf_mime == "application/vnd.oasis.opendocument.text":
+                    return "odt"
+                if odf_mime == "application/vnd.oasis.opendocument.presentation":
+                    return "odp"
             if any(n.startswith("word/") for n in names):
                 return "docx"
             if any(n.startswith("xl/") for n in names):

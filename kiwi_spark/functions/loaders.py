@@ -484,8 +484,12 @@ def payload_to_text(data: bytes, mime: str | None = None,
     from .format_detect import detect_format
 
     file_type = detect_format(content=data, mime=mime, url=url)
-    if file_type in ("image", "pdf"):
+    if file_type == "image":
         return "", file_type
+    if file_type == "pdf":
+        from .pdf_text import pdf_to_text
+
+        return pdf_to_text(data), file_type
 
     if file_type == "docx":
         from .ooxml import docx_to_markdown
@@ -499,6 +503,14 @@ def payload_to_text(data: bytes, mime: str | None = None,
         from .ooxml import pptx_to_markdown
 
         return pptx_to_markdown(data), file_type
+    if file_type == "odt":
+        from .ooxml import odt_to_markdown
+
+        return odt_to_markdown(data), file_type
+    if file_type == "odp":
+        from .ooxml import odp_to_markdown
+
+        return odp_to_markdown(data), file_type
     if file_type in ("email", "mbox"):
         return (
             email_to_markdown(data, "mbox" if file_type == "mbox" else "eml"),

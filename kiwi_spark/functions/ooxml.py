@@ -16,9 +16,12 @@ xlsx/ooxml npm packages):
 * pptx — per slide: page fence, title as ``# …`` (else ``## Slide n``),
   text-frame paragraphs/bullets, tables (ppt/render.ts:5-43)
 
+* odt/odp — ODF text/presentation (content.xml): headings by outline
+  level, nested lists with number/bullet styles, tables, per-slide titles
+  (odt.ts:694-747, odp.ts:701-745)
+
 NOT ported (needs OLE/CFB or OCR models): legacy .doc/.xls/.ppt binaries,
-headers/footers/footnotes/comments, field codes, embedded-image OCR,
-ODF (.odt/.odp).
+headers/footers/footnotes/comments, field codes, embedded-image OCR.
 """
 
 from __future__ import annotations
@@ -535,3 +538,167 @@ def pptx_to_markdown(data: bytes) -> str:
             for part in parts:
                 builder.append(part)
         return builder.text()
+
+
+# --------------------------------------------------------------------------
+# ODF (odt / odp)
+# --------------------------------------------------------------------------
+
+def _odf_text_content(element) -> str:
+    """Paragraph text with text:s (run of spaces) and text:tab expanded."""
+    pieces: list[str] = []
+
+    def walk(node) -> None:
+        if node.text:
+            pieces.append(node.text)
+        for child in node:
+            name = _local(child.tag)
+            if name == "s":
+                count = int(_attr(child, "c") or 1)
+                pieces.append(" " * count)
+            elif name == "tab":
+                pieces.append("\t")
+            elif name == "line-break":
+                pieces.append("\n")
+            else:
+                walk(child)
+            if child.tail:
+                pieces.append(child.tail)
+
+    walk(element)
+    return "".join(pieces)
+
+
+def _odf_list_styles(root) -> dict[str, bool]:
+    """list style name → ordered? (first level number vs bullet)."""
+    styles: dict[str, bool] = {}
+    for style in _descendants(root, "list-style"):
+        name = _attr(style, "name") or ""
+        ordered = any(
+            _local(c.tag) == "list-level-style-number" for c in style
+        )
+        styles[name] = ordered
+    return styles
+
+
+def _odf_blocks(container, list_styles: dict[str, bool],
+                level: int = 0, list_ordered: bool | None = None) -> list[dict]:
+    blocks: list[dict] = []
+    for child in container:
+        name = _local(child.tag)
+        if name == "h":
+            text = clean_inline_text(_odf_text_content(child))
+            if text:
+                blocks.append(
+                    {
+                        "kind": "heading",
+                        "level": int(_attr(child, "outline-level") or 1),
+                        "text": text,
+                    }
+                )
+        elif name == "p":
+            text = clean_inline_text(_odf_text_content(child))
+            if text:
+                if list_ordered is None:
+                    blocks.append({"kind": "paragraph", "text": text})
+                else:
+                    blocks.append(
+                        {"kind": "bullet", "level": level - 1,
+                         "ordered": list_ordered, "text": text}
+                    )
+        elif name == "list":
+            style = _attr(child, "style-name") or ""
+            ordered = list_styles.get(style, list_ordered or False)
+            for item in _children(child, "list-item"):
+                blocks += _odf_blocks(item, list_styles, level + 1, ordered)
+        elif name == "table":
+            rows = []
+            for tr in _descendants(child, "table-row"):
+                row = []
+                for tc in _children(tr, "table-cell"):
+                    row.append(
+                        clean_inline_text(
+                            " ".join(
+                                _odf_text_content(p)
+                                for p in _descendants(tc, "p")
+                            )
+                        )
+                    )
+                rows.append(row)
+            if rows:
+                blocks.append({"kind": "table", "rows": rows})
+        elif name in ("section", "frame", "text-box"):
+            blocks += _odf_blocks(child, list_styles, level, list_ordered)
+    return blocks
+
+
+def _render_odf_blocks(blocks: list[dict], slide_mode: bool = False) -> list[str]:
+    out: list[str] = []
+    for block in blocks:
+        kind = block["kind"]
+        if kind == "heading":
+            if slide_mode:
+                out.append(f"# {block['text']}")
+            else:
+                out.append(
+                    "#" * max(1, min(6, block["level"])) + f" {block['text']}"
+                )
+        elif kind == "paragraph":
+            out.append(block["text"])
+        elif kind == "bullet":
+            indent = "  " * max(0, block["level"])
+            marker = "1." if block["ordered"] else "-"
+            out.append(f"{indent}{marker} {block['text']}")
+        elif kind == "table":
+            out.append(rows_to_markdown(block["rows"], has_header=True))
+    return out
+
+
+def odt_to_markdown(data: bytes) -> str:
+    """odt.ts:694-716 rendering over content.xml office:text."""
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        root = _read_xml(zf, "content.xml")
+    if root is None:
+        return ""
+    body = next(iter(_descendants(root, "text")), None)
+    if body is None:
+        return ""
+    list_styles = _odf_list_styles(root)
+    return "\n\n".join(
+        p for p in _render_odf_blocks(_odf_blocks(body, list_styles)) if p.strip()
+    ).strip()
+
+
+def odp_to_markdown(data: bytes) -> str:
+    """odp.ts:701-745 — '# title' per titled slide, '## Slide n' otherwise."""
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        root = _read_xml(zf, "content.xml")
+    if root is None:
+        return ""
+    presentation = next(iter(_descendants(root, "presentation")), None)
+    if presentation is None:
+        return ""
+    list_styles = _odf_list_styles(root)
+    parts: list[str] = []
+    for index, page in enumerate(_children(presentation, "page")):
+        blocks: list[dict] = []
+        for frame in _descendants(page, "frame"):
+            cls = _attr(frame, "class") or ""
+            frame_blocks = _odf_blocks(frame, list_styles)
+            if cls in ("title", "subtitle") and frame_blocks:
+                text = " ".join(
+                    b["text"] for b in frame_blocks if b.get("text")
+                ).strip()
+                if text:
+                    blocks.append({"kind": "heading", "level": 1, "text": text})
+                continue
+            blocks += frame_blocks
+        if not blocks:
+            continue
+        has_title = any(b["kind"] == "heading" for b in blocks)
+        rendered: list[str] = []
+        if not has_title:
+            rendered.append(f"## Slide {index + 1}")
+        rendered += _render_odf_blocks(blocks, slide_mode=True)
+        parts.append("\n\n".join(p for p in rendered if p.strip()))
+    return "\n\n".join(p for p in parts if p.strip()).strip()

@@ -256,3 +256,98 @@ def test_pptx_empty_slides_skipped():
     assert ":::PAGE-1:::" not in text
     assert ":::PAGE-2:::" in text
     assert "# Content" in text
+
+
+# --- ODF (odt / odp) ----------------------------------------------------------
+
+T = 'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+O = 'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+TB = 'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"'
+D = 'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"'
+PR = 'xmlns:presentation="urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"'
+
+
+def make_odt(body: str, mimetype: str = "application/vnd.oasis.opendocument.text",
+             styles: str = "") -> bytes:
+    content = (
+        f"<office:document-content {O} {T} {TB}>{styles}"
+        f"<office:body><office:text>{body}</office:text></office:body>"
+        "</office:document-content>"
+    )
+    return make_zip({"mimetype": mimetype, "content.xml": content})
+
+
+def test_odt_headings_lists_tables():
+    from kiwi_spark.functions.ooxml import odt_to_markdown
+
+    styles = (
+        '<text:list-style style:name="Num1" xmlns:style="urn:s">'
+        '<text:list-level-style-number text:level="1"/></text:list-style>'
+    )
+    body = (
+        '<text:h text:outline-level="2">Section Title</text:h>'
+        "<text:p>Alpha paragraph.</text:p>"
+        '<text:list text:style-name="Num1">'
+        "<text:list-item><text:p>First item</text:p></text:list-item>"
+        "<text:list-item><text:p>Second item</text:p>"
+        "<text:list><text:list-item><text:p>Nested</text:p></text:list-item></text:list>"
+        "</text:list-item></text:list>"
+        "<table:table><table:table-row>"
+        "<table:table-cell><text:p>Name</text:p></table:table-cell>"
+        "<table:table-cell><text:p>Qty</text:p></table:table-cell>"
+        "</table:table-row><table:table-row>"
+        "<table:table-cell><text:p>Widget</text:p></table:table-cell>"
+        "<table:table-cell><text:p>42</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+    )
+    text = odt_to_markdown(make_odt(body, styles=styles))
+    assert "## Section Title" in text
+    assert "Alpha paragraph." in text
+    assert "1. First item" in text
+    assert "1. Second item" in text
+    assert "1. Nested" in text  # inherits ordered style (no own style name)
+    assert "| Name | Qty |" in text
+    assert "| Widget | 42 |" in text
+
+
+def test_odt_text_s_and_tab_expansion():
+    from kiwi_spark.functions.ooxml import odt_to_markdown
+
+    body = '<text:p>A<text:s text:c="3"/>B<text:tab/>C</text:p>'
+    text = odt_to_markdown(make_odt(body))
+    assert "A B C" in text  # cleanInlineText squashes runs
+
+
+def test_odp_slides_and_titles():
+    from kiwi_spark.functions.ooxml import odp_to_markdown
+
+    content = (
+        f"<office:document-content {O} {T} {D} {PR}>"
+        "<office:body><office:presentation>"
+        '<draw:page><draw:frame presentation:class="title">'
+        "<draw:text-box><text:p>Roadmap 2026</text:p></draw:text-box></draw:frame>"
+        "<draw:frame><draw:text-box><text:p>Intro paragraph</text:p>"
+        "</draw:text-box></draw:frame></draw:page>"
+        "<draw:page><draw:frame><draw:text-box><text:p>No title here</text:p>"
+        "</draw:text-box></draw:frame></draw:page>"
+        "</office:presentation></office:body></office:document-content>"
+    )
+    data = make_zip(
+        {"mimetype": "application/vnd.oasis.opendocument.presentation",
+         "content.xml": content}
+    )
+    text = odp_to_markdown(data)
+    assert "# Roadmap 2026" in text
+    assert "Intro paragraph" in text
+    assert "## Slide 2" in text
+    assert "No title here" in text
+
+
+def test_odf_format_detection_and_dispatch():
+    from kiwi_spark.functions.format_detect import detect_format
+    from kiwi_spark.functions.loaders import payload_to_text
+
+    odt = make_odt("<text:p>Hello ODT</text:p>")
+    assert detect_format(content=odt) == "odt"
+    text, ft = payload_to_text(odt)
+    assert ft == "odt" and "Hello ODT" in text
