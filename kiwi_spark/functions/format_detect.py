@@ -64,6 +64,39 @@ _MAGIC = [
 ]
 
 
+# factory.ts:132-133
+_EMAIL_HEADER_NAMES = {
+    "bcc", "cc", "date", "from", "message-id", "reply-to", "subject", "to",
+}
+_EMAIL_ROUTE_HEADER_NAMES = {"bcc", "cc", "from", "message-id", "reply-to", "to"}
+
+
+def _has_email_header_block(head: bytes) -> bool:
+    """factory.ts:520-546 — ≥2 known RFC-822 headers incl. a routing header
+    before the first blank line."""
+    import re
+
+    headers: set[str] = set()
+    has_route = False
+    try:
+        prefix = head[:4096].decode("utf-8", errors="replace")
+    except Exception:
+        return False
+    for line in re.split(r"\r?\n", prefix):
+        if line.strip() == "":
+            break
+        if line[:1] in (" ", "\t"):
+            continue
+        match = re.match(r"^([A-Za-z][A-Za-z0-9-]*):", line)
+        if not match:
+            break
+        header = match.group(1).lower()
+        if header in _EMAIL_HEADER_NAMES:
+            headers.add(header)
+            has_route = has_route or header in _EMAIL_ROUTE_HEADER_NAMES
+    return len(headers) >= 2 and has_route
+
+
 def detect_format(
     content: bytes | None = None,
     mime: str | None = None,
@@ -120,6 +153,8 @@ def detect_format(
         if lower.startswith(b"<?xml"):
             # declared xml (the loader validates and falls back verbatim)
             return "xml"
+        if _has_email_header_block(head):
+            return "email"
     if mime:
         base = mime.split(";")[0].strip().lower()
         if base in _MIME_MAP:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from functools import lru_cache
 
 ORGANIZATION_SUFFIXES = frozenset(
     "AG BV CO COMPANY CORP CORPORATION GMBH INC INCORPORATED LIMITED LLC "
@@ -52,14 +53,22 @@ def normalize_ws(value: str) -> str:
     return _RE_WS.sub(" ", _RE_CRLF.sub(" ", value.strip()))
 
 
-def tokenize(value: str) -> list[str]:
+@lru_cache(maxsize=65536)
+def _tokenize_cached(value: str) -> tuple[str, ...]:
     normalized = normalize_ws(value)
     normalized = unicodedata.normalize("NFKD", normalized)
     normalized = _RE_COMBINING.sub("", normalized)
     normalized = normalized.upper()
     normalized = normalized.replace("&", " AND ")
     normalized = _RE_NON_ALNUM.sub(" ", normalized).strip()
-    return normalized.split() if normalized else []
+    return tuple(normalized.split()) if normalized else ()
+
+
+def tokenize(value: str) -> list[str]:
+    # memoized per process: the verify/canonicalize paths call this many
+    # times per entity name (NFKD + 4 regexes dominate their profile);
+    # callers receive a fresh list so in-place edits stay local
+    return list(_tokenize_cached(value))
 
 
 def strip_org_suffixes(tokens: list[str]) -> list[str]:
@@ -103,7 +112,10 @@ def are_duplicates(left_name: str, left_type: str, right_name: str, right_type: 
     if left_type in EXACT_ONLY_TYPES:
         return False
     if left_type == "PERSON":
-        return are_people_duplicates(left_name, right_name)
+        # same predicate as are_people_duplicates, reusing lt/rt
+        if len(lt) < 2 or len(rt) < 2:
+            return False
+        return lt[0] == rt[0] and lt[-1] == rt[-1]
     lb, rb = strip_org_suffixes(lt), strip_org_suffixes(rt)
     lbs, rbs = " ".join(lb), " ".join(rb)
     if lbs and rbs and lbs == rbs:

@@ -531,17 +531,139 @@ def payload_to_text(data: bytes, mime: str | None = None,
     return text, file_type
 
 
+# --------------------------------------------------------------------------
+# Outlook .msg — minimal CFB (OLE compound file) stream reader
+# (email.ts:113-131 parseMSG + readMSGText over MAPI property streams)
+# --------------------------------------------------------------------------
+
+_CFB_SIGNATURE = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_ENDOFCHAIN = 0xFFFFFFFE
+
+
+def cfb_streams(data: bytes) -> dict[str, bytes]:
+    """name → content for every stream in a CFB container (v3, DIFAT head
+    only — ample for .msg property streams)."""
+    import struct
+
+    if not data.startswith(_CFB_SIGNATURE) or len(data) < 512:
+        return {}
+    sector_shift = struct.unpack_from("<H", data, 30)[0]
+    mini_shift = struct.unpack_from("<H", data, 32)[0]
+    sector_size = 1 << sector_shift
+    mini_size = 1 << mini_shift
+    first_dir = struct.unpack_from("<I", data, 48)[0]
+    mini_cutoff = struct.unpack_from("<I", data, 56)[0]
+    first_minifat = struct.unpack_from("<I", data, 60)[0]
+    difat = struct.unpack_from("<109I", data, 76)
+
+    def sector(index: int) -> bytes:
+        start = 512 + index * sector_size
+        return data[start : start + sector_size]
+
+    fat = []
+    for fs in difat:
+        if fs in (0xFFFFFFFF, _ENDOFCHAIN):
+            continue
+        body = sector(fs)
+        fat += list(struct.unpack(f"<{len(body) // 4}I", body))
+
+    def chain(start: int) -> bytes:
+        out = []
+        seen = set()
+        current = start
+        while current not in (0xFFFFFFFF, _ENDOFCHAIN) and current not in seen:
+            seen.add(current)
+            out.append(sector(current))
+            if current >= len(fat):
+                break
+            current = fat[current]
+        return b"".join(out)
+
+    directory = chain(first_dir)
+    minifat_bytes = chain(first_minifat) if first_minifat != _ENDOFCHAIN else b""
+    minifat = list(
+        struct.unpack(f"<{len(minifat_bytes) // 4}I", minifat_bytes)
+    )
+
+    entries = []
+    for off in range(0, len(directory) - 127, 128):
+        raw = directory[off : off + 128]
+        name_len = struct.unpack_from("<H", raw, 64)[0]
+        etype = raw[66]
+        if etype not in (1, 2, 5) or name_len < 2:
+            continue
+        name = raw[: name_len - 2].decode("utf-16-le", errors="replace")
+        start = struct.unpack_from("<I", raw, 116)[0]
+        size = struct.unpack_from("<Q", raw, 120)[0]
+        entries.append((name, etype, start, size))
+
+    root = next((e for e in entries if e[1] == 5), None)
+    mini_stream = chain(root[2])[: root[3]] if root else b""
+
+    def mini_chain(start: int, size: int) -> bytes:
+        out = []
+        seen = set()
+        current = start
+        while current not in (0xFFFFFFFF, _ENDOFCHAIN) and current not in seen:
+            seen.add(current)
+            begin = current * mini_size
+            out.append(mini_stream[begin : begin + mini_size])
+            if current >= len(minifat):
+                break
+            current = minifat[current]
+        return b"".join(out)[:size]
+
+    streams: dict[str, bytes] = {}
+    for name, etype, start, size in entries:
+        if etype != 2:
+            continue
+        if size < mini_cutoff:
+            streams[name] = mini_chain(start, size)
+        else:
+            streams[name] = chain(start)[:size]
+    return streams
+
+
+def _msg_property(streams: dict[str, bytes], prop_id: str) -> str:
+    """MAPI property stream __substg1.0_<prop><encoding>: 001F = UTF-16LE,
+    001E = 8-bit (email.ts readMSGStream)."""
+    for name, content in streams.items():
+        if name.endswith(f"_{prop_id}001F"):
+            return content.decode("utf-16-le", errors="replace").rstrip("\x00")
+    for name, content in streams.items():
+        if name.endswith(f"_{prop_id}001E"):
+            return content.decode("cp1252", errors="replace").rstrip("\x00")
+    return ""
+
+
+def parse_msg(data: bytes) -> dict:
+    streams = cfb_streams(data)
+    return {
+        "subject": _msg_property(streams, "0037"),
+        "from": _msg_property(streams, "0C1A"),
+        "to": [v for v in [_msg_property(streams, "0E04")] if v],
+        "cc": [],
+        "date": "",
+        "message_id": _msg_property(streams, "1035"),
+        "body": _msg_property(streams, "1000"),
+        "attachments": [],
+    }
+
+
 def email_to_markdown(data: bytes | str, container: str | None = None) -> str:
-    """EML or MBOX → markdown; container inferred from the leading
-    'From ' envelope when not given (email.ts:152-163)."""
+    """EML, MBOX or Outlook MSG → markdown; container inferred from the
+    OLE signature / 'From ' envelope when not given (email.ts:152-163)."""
     if isinstance(data, str):
         data = data.encode("utf-8")
     if container is None:
-        container = "mbox" if data.startswith(b"From ") else "eml"
+        if data.startswith(_CFB_SIGNATURE):
+            container = "msg"
+        elif data.startswith(b"From "):
+            container = "mbox"
+        else:
+            container = "eml"
     if container == "mbox":
         return format_mailbox([_parse_message(piece) for piece in split_mbox(data)])
     if container == "msg":
-        raise NotImplementedError(
-            "Outlook .msg (OLE/CFB container) is not ported — convert to EML"
-        )
+        return format_email_message(parse_msg(data))
     return format_email_message(_parse_message(data))

@@ -341,3 +341,107 @@ def test_pipeline_ingests_mixed_formats(spark, tmp_path):
     assert "ACME CORP" in names
     acme = next(r for r in nodes if r["name"] == "ACME CORP")
     assert acme["n_urls"] >= 2
+
+
+# --- Outlook .msg (CFB) — mirrors email.test.ts buildSyntheticMSG -------------
+
+
+def make_cfb(streams: dict[str, bytes]) -> bytes:
+    """Minimal CFB v3 writer: 1 FAT sector, 1 directory sector (≤3 streams),
+    1 miniFAT sector, all stream data in the root mini stream."""
+    import struct
+
+    assert len(streams) <= 3
+    sector = 512
+    mini = 64
+
+    # mini stream layout
+    mini_data = bytearray()
+    mini_starts = []
+    minifat: list[int] = []
+    for content in streams.values():
+        start = len(mini_data) // mini
+        n = max(1, -(-len(content) // mini))
+        mini_starts.append(start)
+        for k in range(n - 1):
+            minifat.append(start + k + 1)
+        minifat.append(0xFFFFFFFE)
+        mini_data += content + b"\x00" * (n * mini - len(content))
+    mini_total = len(mini_data)
+    n_mini_sectors = max(1, -(-mini_total // sector))
+    mini_data += b"\x00" * (n_mini_sectors * sector - mini_total)
+
+    # sectors: 0=FAT, 1=dir, 2=miniFAT, 3..=mini stream
+    first_mini_sector = 3
+    fat = [0xFFFFFFFD, 0xFFFFFFFE, 0xFFFFFFFE]
+    for k in range(n_mini_sectors - 1):
+        fat.append(first_mini_sector + k + 1)
+    fat.append(0xFFFFFFFE)
+    fat += [0xFFFFFFFF] * (sector // 4 - len(fat))
+
+    def dir_entry(name: str, etype: int, start: int, size: int,
+                  child: int = 0xFFFFFFFF) -> bytes:
+        encoded = name.encode("utf-16-le") + b"\x00\x00"
+        raw = bytearray(128)
+        raw[: len(encoded)] = encoded
+        struct.pack_into("<H", raw, 64, len(encoded))
+        raw[66] = etype
+        raw[67] = 1  # black
+        struct.pack_into("<III", raw, 68, 0xFFFFFFFF, 0xFFFFFFFF, child)
+        struct.pack_into("<I", raw, 116, start)
+        struct.pack_into("<Q", raw, 120, size)
+        return bytes(raw)
+
+    entries = [dir_entry("Root Entry", 5, first_mini_sector, mini_total, child=1)]
+    for (name, content), start in zip(streams.items(), mini_starts):
+        entries.append(dir_entry(name, 2, start, len(content)))
+    while len(entries) < 4:
+        entries.append(b"\x00" * 128)
+
+    minifat += [0xFFFFFFFF] * (sector // 4 - len(minifat))
+
+    header = bytearray(512)
+    header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 26, 0x003E)  # minor
+    struct.pack_into("<H", header, 28, 0x0003)  # major v3
+    struct.pack_into("<H", header, 30, 9)  # sector shift
+    struct.pack_into("<H", header, 32, 6)  # mini shift
+    struct.pack_into("<I", header, 44, 1)  # num FAT sectors
+    struct.pack_into("<I", header, 48, 1)  # first dir sector
+    struct.pack_into("<I", header, 56, 4096)  # mini cutoff
+    struct.pack_into("<I", header, 60, 2)  # first miniFAT sector
+    struct.pack_into("<I", header, 64, 1)  # num miniFAT sectors
+    struct.pack_into("<I", header, 68, 0xFFFFFFFE)  # first DIFAT
+    struct.pack_into("<I", header, 76, 0)  # DIFAT[0] = FAT sector 0
+    for i in range(1, 109):
+        struct.pack_into("<I", header, 76 + 4 * i, 0xFFFFFFFF)
+
+    import struct as _s
+
+    body = (
+        b"".join(_s.pack("<I", v) for v in fat)
+        + b"".join(entries)
+        + b"".join(_s.pack("<I", v) for v in minifat)
+        + bytes(mini_data)
+    )
+    return bytes(header) + body
+
+
+def _utf16(value: str) -> bytes:
+    return (value + "\x00").encode("utf-16-le")
+
+
+def test_msg_outlook_mapi_streams():
+    """email.test.ts:141-151 — extracts common Outlook MSG MAPI streams."""
+    msg = make_cfb(
+        {
+            "__substg1.0_0037001F": _utf16("MSG Subject"),
+            "__substg1.0_0C1A001F": _utf16("Sender Name"),
+            "__substg1.0_1000001F": _utf16("MSG body text"),
+        }
+    )
+    text = email_to_markdown(msg)  # container inferred from OLE signature
+    assert "# Email Message" in text
+    assert "- Subject: MSG Subject" in text
+    assert "- From: Sender Name" in text
+    assert "MSG body text" in text
