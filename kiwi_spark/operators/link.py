@@ -254,10 +254,34 @@ def verify_pairs(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
 
 def entity_id_map(nodes_doc: DataFrame, mode: str = "parity") -> DataFrame:
     """(entity_id → canonical_id); canonical = min entity_id per component
-    (≡ first_value(id ORDER BY active DESC, id ASC), process-file.ts:650-656)."""
-    edges = blocking_edges(
-        nodes_doc.select("entity_id", "name", "type"), fuzzy=(mode == "fuzzy")
-    )
+    (≡ first_value(id ORDER BY active DESC, id ASC), process-file.ts:650-656).
+
+    Parity mode needs NO connected components: every entity carries exactly
+    one (type, compact key), so key equality is itself the equivalence
+    relation — components ≡ key buckets and the canonical id is the salted
+    bucket min. That removes the CC iterations' fixed orchestration latency
+    (~15 Spark jobs) and two full shuffles per run; equality with the CC
+    result is pinned by the committed KG golden and the CC≡union-find test.
+    Fuzzy mode keeps large-star/small-star CC (multiple keys per entity →
+    genuine transitive closure).
+    """
+    if mode != "fuzzy":
+        keyed = _with_keys(
+            nodes_doc.select("entity_id", "name", "type"), fuzzy=False
+        ).select("entity_id", "key")
+        anchor = _salted_min(keyed, "key", "entity_id", "canonical_id")
+        mapped = keyed.join(anchor, "key").select("entity_id", "canonical_id")
+        return (
+            nodes_doc.select("entity_id")
+            .join(mapped, "entity_id", "left")
+            .select(
+                nodes_doc["entity_id"],
+                F.coalesce("canonical_id", nodes_doc["entity_id"]).alias(
+                    "canonical_id"
+                ),
+            )
+        )
+    edges = blocking_edges(nodes_doc.select("entity_id", "name", "type"), fuzzy=True)
     comp = connected_components(edges)
     return (
         nodes_doc.select("entity_id")
