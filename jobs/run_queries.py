@@ -29,6 +29,8 @@ def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--warehouse", required=True)
     parser.add_argument("--search")
+    parser.add_argument("--keywords", nargs="*", default=None,
+                        help="extra search terms (entity.ts keywords array)")
     parser.add_argument("--neighbours")
     parser.add_argument("--path", nargs=2, metavar=("SRC", "DST"))
     parser.add_argument("--sources-of")
@@ -50,7 +52,9 @@ def main() -> int:
         return rows[0]["entity_id"]
 
     if args.search:
-        Q.search_entities(nodes, args.search, limit=args.limit).show(truncate=60)
+        Q.search_entities(
+            nodes, args.search, limit=args.limit, keywords=args.keywords
+        ).show(truncate=60)
     if args.neighbours:
         eid = resolve(args.neighbours)
         Q.get_entity_neighbours(edges, nodes, eid, limit=args.limit).show(truncate=60)

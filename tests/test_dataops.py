@@ -305,3 +305,19 @@ def test_sessionize(spark):
     # session bounds ordered
     row = sessions.first()
     assert row["session_start"] <= row["session_end"]
+
+
+def test_spread_fans_out_small_scans(spark, tmp_path):
+    """dedup._spread: a single-split scan repartitions to cluster
+    parallelism; an already-wide input passes through unchanged."""
+    from kiwi_spark.operators.dedup import _spread
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(100)], "doc_id int, text string")
+    path = str(tmp_path / "docs_pq")
+    df.coalesce(1).write.parquet(path)
+    narrow = spark.read.parquet(path)
+    assert narrow.rdd.getNumPartitions() <= 2
+    spread = _spread(narrow)
+    assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    wide = narrow.repartition(spark.sparkContext.defaultParallelism * 2)
+    assert _spread(wide) is wide  # no added shuffle at scale
