@@ -78,20 +78,39 @@ def _unit_spans_for_type(file_type: str, text: str, chunk_tokens: int):
     return resolve_spans(text, chunk_for_type(file_type, text))
 
 
-def _source_chunk_spans(content: str, max_tokens: int) -> list[tuple]:
+def _source_chunk_spans(
+    content: str, max_tokens: int, file_type: str | None = None
+) -> list[tuple]:
     """Source chunks with offsets: (text, start, end, type, image_id,
     image_key). Embedded ``<image id,key>`` tags are indivisible image
-    chunks (lib/source-chunk.ts:6-85); plain text takes the fast path."""
+    chunks (lib/source-chunk.ts:6-85); plain text takes the fast path.
+
+    Text regions split at `max_tokens` ONLY for the splittable file types
+    (text/pdf/doc…, source-chunk.ts:7); everything else — html, markdown,
+    json, sheets — keeps each region as a single chunk, matching
+    createSourceChunks' should-split rule (source-chunk.ts:87-89)."""
+    from .source_chunks import _should_split
+
+    split = _should_split(file_type)
+
+    def region_spans(piece: str) -> list[tuple[str, int, int]]:
+        if split:
+            return resolve_spans(piece, chunk_text(piece, max_tokens))
+        stripped = piece.strip()
+        if not stripped:
+            return []
+        start = piece.find(stripped)
+        return [(stripped, start, start + len(stripped))]
+
     if "<image" not in content:
         return [
-            (c, s, e, "text", None, None)
-            for (c, s, e) in chunk_text_spans(content, max_tokens)
+            (c, s, e, "text", None, None) for (c, s, e) in region_spans(content)
         ]
     out: list[tuple] = []
 
     def add_text(region_start: int, region_end: int) -> None:
         piece = content[region_start:region_end]
-        for c, s, e in resolve_spans(piece, chunk_text(piece, max_tokens)):
+        for c, s, e in region_spans(piece):
             if c.strip():
                 out.append(
                     (c, region_start + s, region_start + e, "text", None, None)
@@ -151,7 +170,9 @@ def process_document(
     unit_graphs: list[tuple[dict, dict, list]] = []  # (entities, rel_list)
     for unit_index, (content, u_start, u_end) in enumerate(unit_spans):
         unit_id = stable_id(url, "u", unit_index)
-        source_chunks = _source_chunk_spans(content, source_chunk_tokens)
+        source_chunks = _source_chunk_spans(
+            content, source_chunk_tokens, file_type
+        )
         doc.units.append(  # noqa: the units row is built in both modes
             {
                 "unit_id": unit_id,

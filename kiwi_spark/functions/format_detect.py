@@ -9,6 +9,7 @@ corpus). Priority: content sniff → declared mime → extension.
 from __future__ import annotations
 
 import json
+import re
 
 _MIME_MAP = {
     "text/html": "html",
@@ -37,6 +38,10 @@ _MIME_MAP = {
     "image/jpeg": "image",
     "image/gif": "image",
     "image/webp": "image",
+    "application/vnd.ms-outlook": "msg",
+    "application/msword": "doc",
+    "application/vnd.ms-powerpoint": "ppt",
+    "application/vnd.ms-excel": "xls",
 }
 
 _EXT_MAP = {
@@ -52,6 +57,7 @@ _EXT_MAP = {
     "odt": "odt", "odp": "odp",
     "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
     "webp": "image",
+    "msg": "msg", "doc": "doc", "ppt": "ppt", "xls": "xls",
 }
 
 _MAGIC = [
@@ -62,6 +68,64 @@ _MAGIC = [
     (b"GIF89a", "image"),
     (b"RIFF", "image"),  # webp container
 ]
+
+
+# email.ts:509-511 — the full mbox "From <addr> <Weekday> <Mon> <day> <hh:mm>"
+# envelope; prose that merely starts with "From " must NOT classify as mbox.
+_MBOX_SEPARATOR = re.compile(
+    r"^From \S+ (?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)\s+\S+\s+\d{1,2}\s+\d{2}:\d{2}",
+    re.IGNORECASE,
+)
+
+# OLE/CFB compound-file signature (factory.ts:499 matchesAt d0 cf 11 e0)
+_CFB_SIGNATURE = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
+def _classify_cfb(content: bytes) -> str:
+    """Distinguish the CFB container families by their root stream names:
+    Outlook MSG carries MAPI ``__substg1.0_``/``__properties_version1.0``
+    streams; legacy Word/PowerPoint/Excel carry ``WordDocument`` /
+    ``PowerPoint Document`` / ``Workbook`` (doc.test.ts / ppt.test.ts
+    fixture layout). Unknown CFB payloads return 'cfb' and are routed to a
+    documented unsupported-format error row, never a text misparse."""
+    try:
+        from .loaders import cfb_streams
+
+        names = set(cfb_streams(content).keys())
+    except Exception:
+        return "cfb"
+    def has(fragment: str) -> bool:
+        return any(fragment in n for n in names)
+    if has("__substg1.0_") or has("__properties_version1.0"):
+        return "msg"
+    if has("WordDocument"):
+        return "doc"
+    if has("PowerPoint Document"):
+        return "ppt"
+    if has("Workbook") or has("Book"):
+        return "xls"
+    return "cfb"
+
+
+def _xml_declared_root_is_html(head: bytes) -> bool:
+    """XHTML pages open with an XML declaration before ``<!DOCTYPE html>`` /
+    ``<html``; the reference never routes those to the XML loader (its
+    sniffTextFileFormat, factory.ts:484-518, has no ``<?xml`` sniff at all).
+    Scan past the declaration + comments/doctype for an html root."""
+    text = head[:4096].decode("utf-8", errors="replace")
+    pos = text.find("?>")
+    rest = text[pos + 2 :] if pos >= 0 else text
+    while True:
+        rest = rest.lstrip()
+        if rest.lower().startswith("<!--"):
+            end = rest.find("-->")
+            if end < 0:
+                return False
+            rest = rest[end + 3 :]
+            continue
+        break
+    lower = rest.lower()
+    return lower.startswith("<!doctype html") or lower.startswith("<html")
 
 
 # factory.ts:132-133
@@ -122,8 +186,17 @@ def detect_format(
             return "calendar"
         if lower.startswith(b"begin:vcard"):
             return "vcard"
-        if content.startswith(b"From ") and b"\n" in content[:2048]:
-            return "mbox"
+        if content.startswith(b"From "):
+            first_line = (
+                content[:1024]
+                .split(b"\n", 1)[0]
+                .decode("utf-8", errors="replace")
+                .rstrip()
+            )
+            if _MBOX_SEPARATOR.match(first_line):
+                return "mbox"
+        if content.startswith(_CFB_SIGNATURE):
+            return _classify_cfb(content)
         if content.startswith(b"PK\x03\x04"):
             # OOXML container — inspect the zip directory for the part root
             import io
@@ -151,7 +224,10 @@ def detect_format(
             if any(n.startswith("ppt/") for n in names):
                 return "pptx"
         if lower.startswith(b"<?xml"):
-            # declared xml (the loader validates and falls back verbatim)
+            # XHTML (xml declaration + html root) must stay on the
+            # byte-exact HTML path; everything else is xml
+            if _xml_declared_root_is_html(head):
+                return "html"
             return "xml"
         if _has_email_header_block(head):
             return "email"

@@ -516,6 +516,14 @@ def payload_to_text(data: bytes, mime: str | None = None,
             email_to_markdown(data, "mbox" if file_type == "mbox" else "eml"),
             file_type,
         )
+    if file_type == "msg":
+        return email_to_markdown(data, "msg"), file_type
+    if file_type in ("doc", "ppt", "xls", "cfb"):
+        # legacy OLE binary formats — detected (so they never misparse as
+        # mojibake text) but not yet ported; extract_text marks the row
+        # UNSUPPORTED_FORMAT (reference parses these via loader/doc/,
+        # loader/ppt/ — out of current scope)
+        return "", file_type
 
     text = data.decode("utf-8", errors="replace")
     if file_type == "html":

@@ -79,7 +79,11 @@ def extract_text(pages: DataFrame) -> DataFrame:
                 except Exception:  # malformed beyond repair
                     error_code = "PARSE_ERROR"
                 if not error_code and not text.strip():
-                    error_code = "EMPTY_TEXT"  # readable-text.ts:3-10
+                    if file_type in ("doc", "ppt", "xls", "cfb"):
+                        # detected legacy OLE binary, loader not ported
+                        error_code = "UNSUPPORTED_FORMAT"
+                    else:
+                        error_code = "EMPTY_TEXT"  # readable-text.ts:3-10
                 out.append(
                     {
                         "url": row.url,

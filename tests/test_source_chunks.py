@@ -111,3 +111,45 @@ def test_top_level_image_file_types():
                 "end_page": None,
             }
         ]
+
+
+def test_process_document_honours_should_split_rule():
+    """ADVICE r2: the pipeline's source-chunk boundaries must apply the C9
+    should-split rule (source-chunk.ts:7/87-89): splittable types (text,
+    pdf, doc…) split at 150 tokens; html/json/structured units stay ONE
+    chunk per text region."""
+    from kiwi_spark.functions.docproc import process_document
+
+    long_text = " ".join(f"Sentence number {i} has several words in it." for i in range(120))
+    # text → splits at 150 tokens
+    doc = process_document("u://t", long_text, units_only=True, file_type="text")
+    n_text_chunks = sum(len(u["source_chunks"]) for u in doc.units)
+    assert n_text_chunks > 1
+    # html (the flagship corpus type) → one source chunk per unit
+    doc = process_document("u://h", long_text, units_only=True, file_type="html")
+    for unit in doc.units:
+        assert len(unit["source_chunks"]) == 1
+        assert unit["source_chunks"][0]["text"] == unit["content"].strip()
+    # json → one chunk per unit as well
+    doc = process_document("u://j", long_text, units_only=True, file_type="json")
+    for unit in doc.units:
+        assert len(unit["source_chunks"]) == 1
+
+
+def test_process_document_image_tags_with_nonsplittable_type():
+    """Image tags stay indivisible image chunks and surrounding text regions
+    stay whole for non-splittable types."""
+    from kiwi_spark.functions.docproc import process_document
+
+    text = (
+        "Intro paragraph here. "
+        '<image id="im1" key="k1">A chart of revenue</image>'
+        " Closing paragraph."
+    )
+    doc = process_document("u://img", text, units_only=True, file_type="html")
+    chunks = doc.units[0]["source_chunks"]
+    types = [c["type"] for c in chunks]
+    assert types == ["text", "image", "text"]
+    assert chunks[1]["image_id"] == "im1" and chunks[1]["image_key"] == "k1"
+    assert chunks[0]["text"] == "Intro paragraph here."
+    assert chunks[2]["text"] == "Closing paragraph."
