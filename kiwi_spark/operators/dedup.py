@@ -109,11 +109,26 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_shingle_df: int | None = None) -> DataFrame:
+                        max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF
+                        ) -> DataFrame:
     """Exact Jaccard over word-n-gram shingle sets for all pairs sharing ≥1
-    shingle. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    shingle. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    A shingle appearing in f documents contributes f² rows to the
+    shingle-equality self-join, so one corpus-wide boilerplate shingle makes
+    the exact op quadratic. ``max_shingle_df`` (default 1000) drops shingles
+    hotter than that before pairing — the standard df-pruning guard.
+    EXACTNESS CAVEAT: with the cap active, pairs whose ONLY shared shingles
+    are hot ones are never candidates, and intersections counted over the
+    surviving shingles can undercount Jaccard for pairs that share hot
+    shingles. Corpora smaller than the cap (df can't exceed n_docs) are
+    unaffected. Pass ``max_shingle_df=None`` for the fully exact quadratic
+    run, or use ``minhash_lsh_pairs`` as the scale path."""
     sh = _spread(docs).select(
         F.col(id_col).alias("doc_id"), _shingles(n, text_col).alias("shingles")
     )
@@ -260,30 +275,36 @@ def simhash64(texts: pd.Series) -> pd.Series:
 
     Per-token ±1 bit vectors are the 64 leading bits of md5(token),
     MSB-first (bit j = bit 3-(j%4) of hex digit j//4) — reproducible in
-    ANSI SQL, so the operator has an exact DuckDB twin. Token vectors are
-    memoized per Arrow batch; the accumulate is one numpy add per token
-    and the fingerprint assembly is a single packbits."""
+    ANSI SQL, so the operator has an exact DuckDB twin.
+
+    Numpy-bulk formulation (VERDICT r2 #7): per Arrow batch, md5 runs once
+    per UNIQUE vocabulary token into a (V, 64) ±1 matrix; each document is
+    then one np.unique over its token indices + one occurrence-weighted
+    (counts @ bits) matmul — no per-token-occurrence Python."""
+    token_lists = [(t or "").lower().split() for t in texts]
+    vocab: dict[str, int] = {}
+    for tokens in token_lists:
+        for tok in tokens:
+            if tok not in vocab:
+                vocab[tok] = len(vocab)
+    if vocab:
+        digests = np.frombuffer(
+            b"".join(
+                hashlib.md5(t.encode("utf-8")).digest()[:8] for t in vocab
+            ),
+            dtype=np.uint8,
+        ).reshape(len(vocab), 8)
+        bits_matrix = np.unpackbits(digests, axis=1).astype(np.int64) * 2 - 1
     out = []
-    bit_cache: dict[str, np.ndarray] = {}  # token → ±1 bit vector (vocab cache)
-    for text in texts:
-        tokens = (text or "").lower().split()
+    for tokens in token_lists:
         if not tokens:
             out.append(0)
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for token in tokens:
-            bits = bit_cache.get(token)
-            if bits is None:
-                digest = hashlib.md5(token.encode("utf-8")).digest()[:8]
-                bits = (
-                    np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(
-                        np.int64
-                    )
-                    * 2
-                    - 1
-                )
-                bit_cache[token] = bits
-            acc += bits
+        idx = np.fromiter(
+            (vocab[t] for t in tokens), dtype=np.int64, count=len(tokens)
+        )
+        uniq, counts = np.unique(idx, return_counts=True)
+        acc = counts @ bits_matrix[uniq]
         fp = int.from_bytes(np.packbits(acc > 0).tobytes(), "big")
         # two's-complement into signed 64-bit for Spark LongType
         out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)

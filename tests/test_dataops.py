@@ -321,3 +321,59 @@ def test_spread_fans_out_small_scans(spark, tmp_path):
     assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
     wide = narrow.repartition(spark.sparkContext.defaultParallelism * 2)
     assert _spread(wide) is wide  # no added shuffle at scale
+
+
+def test_ivf_assignment_plan_independent_of_n_cells(spark, embeddings):
+    """VERDICT r2 #3: assignment must be ONE Arrow-batched Python stage with
+    a broadcast centroid matrix — no chained CASE WHEN growing with
+    n_cells."""
+    plans = {}
+    for n_cells in (8, 64):
+        assigned, _ = similarity.ivf_build(embeddings, n_cells=n_cells)
+        plan = assigned._jdf.queryExecution().executedPlan().toString()
+        assert "CASE WHEN" not in plan
+        assert plan.count("ArrowEvalPython") == 1
+        plans[n_cells] = len(plan)
+    # plan text does not grow with the number of cells
+    assert abs(plans[64] - plans[8]) < 200, plans
+
+
+def test_ivf_recall_n_cells_256(spark, embeddings):
+    """Exhaustive probe equals exact top-k even at 256 cells; a partial
+    probe keeps useful recall."""
+    q_row = embeddings.first()
+    q = [float(x) for x in q_row["embedding"]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(embeddings, q, k=10).collect()]
+    assigned, centroids = similarity.ivf_build(embeddings, n_cells=256)
+    assigned = assigned.cache()
+    exhaustive = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, centroids, q, k=10, nprobe=256).collect()
+    ]
+    assert exhaustive == exact
+    partial = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, centroids, q, k=10, nprobe=64).collect()
+    ]
+    recall = len(set(exact) & set(partial)) / 10
+    assert recall >= 0.5, recall
+    assigned.unpersist()
+
+
+def test_ngram_jaccard_hot_shingle_pruning(spark):
+    """VERDICT r2 #4: a corpus-wide boilerplate shingle must not produce a
+    quadratic self-join. With the df cap, docs whose only shared content is
+    the hot shingle never become candidate pairs; max_shingle_df=None keeps
+    the fully exact behavior."""
+    from kiwi_spark.operators.dedup import ngram_jaccard_pairs, DEFAULT_MAX_SHINGLE_DF
+
+    assert DEFAULT_MAX_SHINGLE_DF is not None  # safe default, not opt-in
+    boiler = "subscribe to our newsletter today"
+    rows = [(i, f"{boiler} unique{i} filler{i} extra{i} words{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the hot shingle's df → no candidate pairs at all
+    pruned = ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_shingle_df=10)
+    assert pruned.count() == 0
+    # unpruned exact run still pairs them (they do share shingles)
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.05, max_shingle_df=None)
+    assert exact.count() > 0
