@@ -4,10 +4,11 @@ The Spark-side plumbing (schemas, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Codecs:
 
 * REAL pure-Python decoders for the container formats that need no external
-  library: uncompressed 24-bit BMP (``decode_image_features`` — width,
-  height, true mean luma, 8×8 average-hash) and PCM-16 RIFF/WAVE
+  library: uncompressed 24-bit BMP, non-interlaced 8-bit PNG (stdlib-zlib
+  IDAT inflate + full unfilter; gray/RGB/palette/alpha) — both feeding
+  width/height/true mean luma/8×8 average-hash — and PCM-16 RIFF/WAVE
   (``decode_audio_features`` — sample rate, channels, duration, RMS, peak).
-* Other formats (JPEG/PNG/MP4…) require PIL/pyav, absent in this
+* Other formats (JPEG/MP4…) require PIL/pyav, absent in this
   environment — those paths raise ``NotImplementedError`` unless
   ``fake=True`` (deterministic bytes-derived fake for plumbing tests).
 
@@ -77,6 +78,102 @@ def decode_bmp(payload: bytes):
     return width, h, luma
 
 
+def decode_png(payload: bytes):
+    """Non-interlaced 8-bit-depth PNG → (width, height, luma ndarray) or
+    None. Pure stdlib-zlib + numpy (VERDICT r2 #5; covers the reference's
+    own PNG path, loader/pdf/png.ts): IDAT inflate, per-row unfilter
+    (None/Sub/Up/Average/Paeth), color types 0 gray / 2 RGB / 3 palette /
+    4 gray+alpha / 6 RGBA, BT.601 luma (alpha ignored)."""
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos = 8
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None or depth != 8 or interlace != 0 or width <= 0 or height <= 0:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    cursor = 0
+    for y in range(height):
+        ftype = raw[cursor]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=cursor + 1
+        ).copy()
+        cursor += stride + 1
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up — uint8 add wraps mod 256, per spec
+            line += prev
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                predictor = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + predictor) & 0xFF
+        else:
+            return None
+        out[y] = line
+        prev = line
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(height, width).astype(np.int64)
+        if int(idx.max()) >= len(palette):
+            return None
+        rgb = palette[idx].astype(np.float64)
+        luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    else:
+        px = out.reshape(height, width, channels).astype(np.float64)
+        if color in (0, 4):
+            luma = px[..., 0]
+        else:
+            luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    return width, height, luma
+
+
 def ahash64(luma) -> int:
     """8×8 average hash over a luma plane (grid-sampled, mean-thresholded),
     packed MSB-first into a signed 64-bit int."""
@@ -139,8 +236,9 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     """images → (width, height, mean luma, perceptual hash).
 
-    BMP payloads are decoded for REAL (pure numpy, see decode_bmp/ahash64);
-    other formats need PIL — STUBBED behind ``fake=True``.
+    BMP and PNG payloads are decoded for REAL (pure numpy/zlib, see
+    decode_bmp/decode_png/ahash64); JPEG and the exotic formats need PIL —
+    STUBBED behind ``fake=True``.
     """
 
     def process(batches):
@@ -152,16 +250,16 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                 if row.kind != "image":
                     continue
                 payload = bytes(row.payload or b"")
-                decoded = decode_bmp(payload)
+                decoded = decode_bmp(payload) or decode_png(payload)
                 if decoded is not None:
                     width, height, luma = decoded
                     mean_luma = float(luma.mean()) / 255.0
                     phash = ahash64(luma)
                 elif not fake:
                     raise NotImplementedError(
-                        "non-BMP image decoding requires PIL — not available "
-                        "in this environment; pass fake=True for plumbing "
-                        "tests"
+                        "non-BMP/PNG image decoding requires PIL — not "
+                        "available in this environment; pass fake=True for "
+                        "plumbing tests"
                     )
                 else:
                     # --- STUB: deterministic fake decode -------------------

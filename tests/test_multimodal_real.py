@@ -134,3 +134,143 @@ def test_spark_image_and_audio_operators_real(spark):
     assert len(aud) == 1
     assert aud[0]["sample_rate"] == 8000
     assert aud[0]["duration_ms"] == 400 * 1000 // 8000
+
+
+# --- PNG (pure stdlib-zlib decoder, VERDICT r2 #5) ---------------------------
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def make_png(rows: list[list[tuple]], color_type: int = 2,
+             filters: list[int] | None = None,
+             palette: list[tuple] | None = None) -> bytes:
+    """Minimal PNG writer with per-row filter selection (forward-filtered
+    per the spec, so the decoder must invert every filter type)."""
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    height = len(rows)
+    width = len(rows[0])
+    flat = [
+        [c for px in row for c in (px if isinstance(px, tuple) else (px,))]
+        for row in rows
+    ]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = [0] * stride
+    for y, line in enumerate(flat):
+        f = filters[y]
+        raw.append(f)
+        for i in range(stride):
+            left = line[i - channels] if i >= channels else 0
+            up = prev[i]
+            upleft = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - left
+            elif f == 2:
+                v = line[i] - up
+            elif f == 3:
+                v = line[i] - ((left + up) >> 1)
+            else:
+                v = line[i] - _paeth(left, up, upleft)
+            raw.append(v & 0xFF)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as z
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", z.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_decode_png_rgb_all_filters():
+    from kiwi_spark.operators.multimodal import decode_png
+
+    pixels = [
+        [(255, 255, 255), (0, 0, 0), (255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (128, 128, 128), (255, 255, 0), (10, 20, 30)],
+        [(1, 2, 3), (200, 100, 50), (255, 254, 253), (0, 128, 255)],
+        [(7, 77, 177), (99, 98, 97), (13, 13, 13), (240, 10, 60)],
+    ]
+    for filters in ([0, 0, 0, 0], [1, 2, 3, 4], [4, 4, 4, 4], [0, 2, 1, 3]):
+        payload = make_png(pixels, color_type=2, filters=filters)
+        width, height, luma = decode_png(payload)
+        assert (width, height) == (4, 4)
+        expected = _expected_luma(pixels)
+        for y in range(4):
+            for x in range(4):
+                assert abs(luma[y][x] - expected[y][x]) < 1e-9, (filters, y, x)
+
+
+def test_decode_png_gray_palette_rgba():
+    from kiwi_spark.operators.multimodal import decode_png
+
+    # grayscale with Average filter
+    gray = [[(10,), (20,), (30,)], [(40,), (50,), (60,)]]
+    w, h, luma = decode_png(make_png(gray, color_type=0, filters=[0, 3]))
+    assert (w, h) == (3, 2)
+    assert [[luma[y][x] for x in range(3)] for y in range(2)] == [
+        [10.0, 20.0, 30.0], [40.0, 50.0, 60.0]
+    ]
+    # palette
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx_rows = [[(0,), (1,)], [(2,), (1,)]]
+    w, h, luma = decode_png(make_png(idx_rows, color_type=3, palette=pal))
+    assert (w, h) == (2, 2)
+    assert abs(luma[0][0] - 0.299 * 255) < 1e-9
+    assert abs(luma[0][1] - 0.587 * 255) < 1e-9
+    assert abs(luma[1][0] - 0.114 * 255) < 1e-9
+    # RGBA: alpha ignored
+    rgba = [[(100, 150, 200, 0), (1, 2, 3, 255)]]
+    w, h, luma = decode_png(make_png(rgba, color_type=6, filters=[4]))
+    assert (w, h) == (2, 1)
+    assert abs(luma[0][0] - (0.299 * 100 + 0.587 * 150 + 0.114 * 200)) < 1e-9
+
+
+def test_decode_png_rejects_unsupported():
+    from kiwi_spark.operators.multimodal import decode_png
+
+    assert decode_png(b"\xff\xd8\xffjpeg") is None
+    good = make_png([[(1, 2, 3)]])
+    # corrupt the zlib stream
+    assert decode_png(good[:40] + b"\x00" * 8) is None
+
+
+def test_spark_image_operator_decodes_png(spark):
+    from kiwi_spark.operators.multimodal import ASSET_SCHEMA
+
+    pixels = PIXELS
+    payload = make_png(pixels, color_type=2, filters=[1, 4])
+    assets = spark.createDataFrame(
+        [("png1", "u1", "image", bytearray(payload), ("image/png", None, None, None))],
+        schema=ASSET_SCHEMA,
+    )
+    img = decode_image_features(assets).collect()  # fake=False: REAL decode
+    assert len(img) == 1 and img[0]["width"] == 4 and img[0]["height"] == 2
+    expected = _expected_luma(pixels)
+    mean = sum(sum(r) for r in expected) / 8 / 255.0
+    assert abs(img[0]["mean_luma"] - mean) < 1e-9
+    # PNG and BMP of the SAME pixels produce the same luma → same ahash
+    bmp = decode_image_features(
+        spark.createDataFrame(
+            [("bmp1", "u2", "image", bytearray(make_bmp(pixels)),
+              ("image/bmp", None, None, None))],
+            schema=ASSET_SCHEMA,
+        )
+    ).collect()
+    assert bmp[0]["phash"] == img[0]["phash"]
