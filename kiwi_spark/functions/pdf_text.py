@@ -13,9 +13,15 @@ with blank lines, like ocr.ts:41-44). Pure Python:
 * text operators: BT/ET blocks, Tj / ' / " and TJ arrays, line advances on
   Td/TD/T*/Tm; literal-string escapes (octal, \\n…) and <hex> strings
 
-NOT ported (needs font machinery / OCR): CID/Type0 composite fonts with
-ToUnicode CMaps (bytes are decoded as Latin-1 — correct for the common
-simple-font case), layout-aware column/table reconstruction, image OCR.
+* composite fonts: per-page /Resources → /Font table; fonts carrying a
+  /ToUnicode CMap stream (begincmap … bfchar/bfrange, codespacerange code
+  width) decode their strings code-by-code to UTF-16BE targets — the
+  text half of the reference's loader/pdf/unicode.ts + text.ts. The
+  current font is tracked through ``Tf``; simple fonts without a CMap
+  keep the Latin-1 fast path.
+
+NOT ported (needs rasterizing/OCR): layout-aware column/table
+reconstruction, image OCR (loader/pdf/ocr.ts, layout.ts, table.ts).
 """
 
 from __future__ import annotations
@@ -114,7 +120,147 @@ def _content_bytes(page_body: bytes,
     return b"\n".join(chunks)
 
 
-def _decode_pdf_string(raw: bytes) -> str:
+def _extract_value(body: bytes, key: bytes):
+    """Value after /key: an int object ref, or the balanced ``<< … >>``
+    inline-dict bytes, or None."""
+    match = re.search(rb"/" + key + rb"\s*", body)
+    if not match:
+        return None
+    rest = body[match.end():]
+    ref = re.match(rb"(\d+)\s+\d+\s+R", rest)
+    if ref:
+        return int(ref.group(1))
+    if rest.startswith(b"<<"):
+        depth = 0
+        i = 0
+        while i < len(rest) - 1:
+            pair = rest[i : i + 2]
+            if pair == b"<<":
+                depth += 1
+                i += 2
+            elif pair == b">>":
+                depth -= 1
+                i += 2
+                if depth == 0:
+                    return rest[:i]
+            else:
+                i += 1
+    return None
+
+
+def _utf16be_hex(hexbytes: bytes) -> str:
+    try:
+        return bytes.fromhex(hexbytes.decode()).decode("utf-16-be", "ignore")
+    except ValueError:
+        return ""
+
+
+def _parse_cmap(data: bytes):
+    """ToUnicode CMap stream → (code → unicode str, code byte width) or
+    None. Handles bfchar pairs, bfrange scalar (incrementing the last
+    UTF-16 code unit) and array forms, and codespacerange width
+    (loader/pdf/unicode.ts semantics)."""
+    mapping: dict[int, str] = {}
+    code_bytes = 2
+    cs = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if cs:
+        first = re.search(rb"<([0-9A-Fa-f]+)>", cs.group(1))
+        if first:
+            code_bytes = max(1, len(first.group(1)) // 2)
+    for section in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for pair in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", section.group(1)
+        ):
+            mapping[int(pair.group(1), 16)] = _utf16be_hex(pair.group(2))
+    _ARRAY_FORM = rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]"
+    for section in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        body = section.group(1)
+        for rng in re.finditer(_ARRAY_FORM, body, re.S):
+            lo, hi = int(rng.group(1), 16), int(rng.group(2), 16)
+            targets = re.findall(rb"<([0-9A-Fa-f]+)>", rng.group(3))
+            for off, dst in enumerate(targets):
+                if lo + off <= hi:
+                    mapping[lo + off] = _utf16be_hex(dst)
+        # array entries removed first so their elements can't be mistaken
+        # for a scalar <lo> <hi> <dst> triple
+        scalar_body = re.sub(_ARRAY_FORM, b"", body, flags=re.S)
+        for rng in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+            scalar_body,
+        ):
+            lo, hi = int(rng.group(1), 16), int(rng.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:  # malformed range guard
+                continue
+            dst = rng.group(3)
+            if len(dst) % 4:
+                dst = dst.rjust((len(dst) + 3) // 4 * 4, b"0")
+            units = [int(dst[i : i + 4], 16) for i in range(0, len(dst), 4)]
+            if not units:
+                continue
+            for off in range(hi - lo + 1):
+                incremented = units[:-1] + [units[-1] + off]
+                raw = b"".join(u.to_bytes(2, "big") for u in incremented)
+                mapping[lo + off] = raw.decode("utf-16-be", "ignore")
+    return (mapping, code_bytes) if mapping else None
+
+
+def _page_fonts(page_body: bytes,
+                objects: dict[int, tuple[bytes, bytes | None]]) -> dict:
+    """Font name → (cmap dict, code width) for fonts with a /ToUnicode
+    stream. /Resources resolves on the page or is inherited via /Parent."""
+    body = page_body
+    resources = _extract_value(body, b"Resources")
+    seen: set[int] = set()
+    while resources is None:
+        parent = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", body)
+        if not parent:
+            break
+        pnum = int(parent.group(1))
+        if pnum in seen or pnum not in objects:
+            break
+        seen.add(pnum)
+        body = objects[pnum][0]
+        resources = _extract_value(body, b"Resources")
+    if resources is None:
+        return {}
+    if isinstance(resources, int):
+        resources = objects.get(resources, (b"", None))[0]
+    font_dict = _extract_value(resources, b"Font")
+    if isinstance(font_dict, int):
+        font_dict = objects.get(font_dict, (b"", None))[0]
+    if not font_dict:
+        return {}
+    fonts: dict = {}
+    for fm in re.finditer(rb"/([^\s/\[\]()<>{}]+)\s+(\d+)\s+\d+\s+R", font_dict):
+        entry = objects.get(int(fm.group(2)))
+        if not entry:
+            continue
+        tou = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", entry[0])
+        if not tou:
+            continue
+        tobj = objects.get(int(tou.group(1)))
+        if not tobj or tobj[1] is None:
+            continue
+        data = _decode_stream(tobj[0], tobj[1])
+        if data is None:
+            continue
+        cmap = _parse_cmap(data)
+        if cmap:
+            fonts[fm.group(1).decode("latin-1")] = cmap
+    return fonts
+
+
+def _apply_cmap(raw: bytes, mapping: dict[int, str], code_bytes: int) -> str:
+    out: list[str] = []
+    for i in range(0, len(raw), code_bytes):
+        code = int.from_bytes(raw[i : i + code_bytes], "big")
+        mapped = mapping.get(code)
+        if mapped is not None:
+            out.append(mapped)
+    return "".join(out)
+
+
+def _pdf_string_bytes(raw: bytes) -> bytes:
     out = bytearray()
     i = 0
     n = len(raw)
@@ -142,7 +288,7 @@ def _decode_pdf_string(raw: bytes) -> str:
             continue
         out += ch
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
 
 
 _TOKEN_RE = re.compile(
@@ -155,11 +301,16 @@ _TOKEN_RE = re.compile(
 )
 
 
-def extract_content_text(content: bytes) -> str:
-    """Walk a content stream's text operators into plain text lines."""
+def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
+    """Walk a content stream's text operators into plain text lines.
+
+    ``fonts`` maps font resource names to (ToUnicode cmap, code width);
+    strings shown while such a font is selected (tracked through ``Tf``)
+    decode code-by-code via the cmap, everything else as Latin-1."""
     lines: list[str] = []
     current: list[str] = []
     stack: list[bytes] = []  # recent operands
+    current_font: str | None = None
 
     def flush_line() -> None:
         nonlocal current
@@ -170,13 +321,18 @@ def extract_content_text(content: bytes) -> str:
 
     def decode_operand(operand: bytes) -> str | None:
         if operand[:1] == b"(":
-            return _decode_pdf_string(operand[1:-1])
-        if operand[:1] == b"<":
+            raw = _pdf_string_bytes(operand[1:-1])
+        elif operand[:1] == b"<":
             hexstr = re.sub(rb"\s", b"", operand[1:-1])
             if len(hexstr) % 2:
                 hexstr += b"0"
-            return bytes.fromhex(hexstr.decode()).decode("latin-1")
-        return None
+            raw = bytes.fromhex(hexstr.decode())
+        else:
+            return None
+        cmap = fonts.get(current_font) if fonts and current_font else None
+        if cmap is not None:
+            return _apply_cmap(raw, cmap[0], cmap[1])
+        return raw.decode("latin-1")
 
     for match in _TOKEN_RE.finditer(content):
         token = match.group(0)
@@ -189,7 +345,12 @@ def extract_content_text(content: bytes) -> str:
             stack.append(token)
             continue
         op = token
-        if op in (b"Tj", b"'", b'"'):
+        if op == b"Tf":
+            for operand in reversed(stack):
+                if operand[:1] == b"/":
+                    current_font = operand[1:].decode("latin-1")
+                    break
+        elif op in (b"Tj", b"'", b'"'):
             if op in (b"'", b'"'):
                 flush_line()  # ' and " move to the next line first
             for operand in reversed(stack):
@@ -227,7 +388,8 @@ def pdf_to_text(data: bytes) -> str:
         content = _content_bytes(objects[num][0], objects)
         if not content:
             continue
-        text = extract_content_text(content).strip()
+        fonts = _page_fonts(objects[num][0], objects)
+        text = extract_content_text(content, fonts).strip()
         if text:
             parts.append(f":::PAGE-{index + 1}:::\n\n{text}")
     return "\n\n".join(parts)
