@@ -2,14 +2,22 @@
 
 The reference counts o200k_base BPE tokens via js-tiktoken
 (packages/graph/src/chunking/semantic.ts:49-69, packages/ai/src/index.ts:264-270).
-``tiktoken`` is not available in this environment, so we substitute a
-deterministic, pure-Python approximation with the same *shape*: a GPT-style
-pre-tokenizer regex followed by a byte-length cost per piece (BPE yields
-roughly one token per ~4 UTF-8 bytes of word text). Token counts only drive
-chunk boundaries and the reported ``token_count`` column — they never affect
-extracted-text byte identity or the emitted triple set — so any stable,
-monotone counter preserves the reference's semantics. Pin: the counter is
-part of this repo, therefore identical across executors and runs.
+
+Two paths, resolved once per process:
+
+* EXACT — when an o200k_base ranks file is available (see
+  ``functions.bpe``: ``$KIWI_SPARK_O200K_RANKS`` or
+  ``kiwi_spark/data/o200k_base.tiktoken``), counts come from the real
+  tiktoken-compatible BPE encoder, matching js-tiktoken's numbers.
+* APPROXIMATE — this build environment has no network access to fetch
+  the public ranks data, so the fallback is a deterministic, pure-Python
+  approximation with the same *shape*: a GPT-style pre-tokenizer regex
+  followed by a byte-length cost per piece (BPE yields roughly one token
+  per ~4 UTF-8 bytes of word text). Token counts only drive chunk
+  boundaries and the reported ``token_count`` column — they never affect
+  extracted-text byte identity or the emitted triple set — so any stable,
+  monotone counter preserves the reference's semantics. Pin: the counter
+  is part of this repo, therefore identical across executors and runs.
 """
 
 from __future__ import annotations
@@ -30,7 +38,13 @@ _PRETOKEN = re.compile(
 
 
 def count_tokens_uncached(text: str) -> int:
-    """Approximate BPE token count; deterministic, O(len)."""
+    """BPE token count: exact o200k when ranks data is present, else the
+    deterministic approximation. Deterministic either way."""
+    from .bpe import get_default_encoder
+
+    encoder = get_default_encoder()
+    if encoder is not None:
+        return encoder.count(text)
     normalized = text.strip()
     if not normalized:
         return 0
