@@ -3,7 +3,12 @@
 
 Prints ONE JSON line:
   {"metric": "headline_wall", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>, "kg": {...}}
+   "queries": {name: sec, ...}, "spread": {name: {min,max,reps}},
+   "sf": <sf>, "kg": {...}}
+
+Per-query wall is the MEDIAN of $SPARK_GRAFT_REPS runs (default 3;
+VERDICT r2 asked for repetitions to separate scheduler noise from plan
+drift — the spread block carries min/max per query).
 
 The kg block reports the engine's own north-star number (triples/sec of the
 full pages→graph DAG on a synthesized corpus sized to the sf tier).
@@ -49,16 +54,27 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        started = time.time()
-        n = fn(spark, sf_dir).count()
-        wall = time.time() - started
-        timings[name] = round(wall, 3)
-        total += wall
-        _ = n
+        walls: list[float] = []
+        for _rep in range(reps):
+            started = time.time()
+            n = fn(spark, sf_dir).count()
+            walls.append(time.time() - started)
+            _ = n
+        walls.sort()
+        median = walls[len(walls) // 2]
+        timings[name] = round(median, 3)
+        spread[name] = {
+            "min": round(walls[0], 3),
+            "max": round(walls[-1], 3),
+            "reps": reps,
+        }
+        total += median
 
     # KG pipeline throughput (pages → canonical triples), counted end-to-end
     kg_started = time.time()
@@ -76,6 +92,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
                 "kg": {
                     "pages": KG_PAGES,

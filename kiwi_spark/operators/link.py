@@ -307,9 +307,12 @@ def canonicalize(
     The canonical description is the L14 fold over member descriptions in
     entity_id order (chunks of 300, tail≤25 merged — description.ts:6-64;
     deterministic compressor, see functions.descriptions). Member
-    descriptions are capped at FOLD_MEMBER_CAP per group (the compressor
-    saturates after ~2 chunks, and an uncapped collect_list over a
-    10^8-member head entity would OOM an executor).
+    descriptions are capped at FOLD_MEMBER_CAP per group — a documented
+    PARITY EXCEPTION (COVERAGE.md L14): the reference folds ALL source
+    descriptions, but an uncapped collect_list over a 10^8-member head
+    entity would OOM an executor, and the left fold is non-associative
+    (truncation step) so partial per-partition folds would change its
+    output. Groups ≤600 members are exact.
     """
     from pyspark.sql.types import StringType
     from pyspark.sql.window import Window

@@ -236,13 +236,16 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     """images → (width, height, mean luma, perceptual hash).
 
-    BMP and PNG payloads are decoded for REAL (pure numpy/zlib, see
-    decode_bmp/decode_png/ahash64); JPEG and the exotic formats need PIL —
+    BMP, PNG and baseline JPEG payloads are decoded for REAL (pure
+    numpy/zlib/from-spec Huffman+IDCT — decode_bmp / decode_png /
+    functions.jpeg_decode); progressive JPEG and exotic formats need PIL —
     STUBBED behind ``fake=True``.
     """
 
     def process(batches):
         import pandas as pd
+
+        from ..functions.jpeg_decode import decode_jpeg
 
         for batch in batches:
             rows = []
@@ -250,16 +253,20 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                 if row.kind != "image":
                     continue
                 payload = bytes(row.payload or b"")
-                decoded = decode_bmp(payload) or decode_png(payload)
+                decoded = (
+                    decode_bmp(payload)
+                    or decode_png(payload)
+                    or decode_jpeg(payload)
+                )
                 if decoded is not None:
                     width, height, luma = decoded
                     mean_luma = float(luma.mean()) / 255.0
                     phash = ahash64(luma)
                 elif not fake:
                     raise NotImplementedError(
-                        "non-BMP/PNG image decoding requires PIL — not "
-                        "available in this environment; pass fake=True for "
-                        "plumbing tests"
+                        "non-BMP/PNG/baseline-JPEG image decoding requires "
+                        "PIL — not available in this environment; pass "
+                        "fake=True for plumbing tests"
                     )
                 else:
                     # --- STUB: deterministic fake decode -------------------
