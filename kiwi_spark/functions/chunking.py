@@ -21,6 +21,7 @@ trimmed fallback).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from dataclasses import dataclass
 
 from .tokens import count_tokens
@@ -102,28 +103,46 @@ def _locate_chunk(text: str, chunk: str, cursor: int) -> tuple[int, int] | None:
     return _fuzzy_find(text, chunk, cursor)
 
 
+_NONWS_RE = re.compile(r"\S+")
+
+
+@lru_cache(maxsize=8)
+def _ws_norm_table(text: str) -> tuple[str, list[int]]:
+    """Whitespace-run-collapsed view of `text` + normalized→original index
+    map (each collapsed space maps to its run's start, i.e. the index just
+    past the previous non-ws run). Memoized per text so resolve_spans'
+    repeated fuzzy fallbacks don't rebuild an O(doc) table per chunk; the
+    runs come from one regex scan instead of a per-char Python loop."""
+    parts: list[str] = []
+    index_map: list[int] = []
+    prev_end: int | None = None
+    for match in _NONWS_RE.finditer(text):
+        a, b = match.span()
+        if prev_end is not None:
+            parts.append(" ")
+            index_map.append(prev_end)
+        parts.append(text[a:b])
+        index_map.extend(range(a, b))
+        prev_end = b
+    return "".join(parts), index_map
+
+
 def _fuzzy_find(text: str, chunk: str, cursor: int) -> tuple[int, int] | None:
     """span.ts:53-116 — whitespace runs collapse to a single space on both
-    sides; matched offsets map back through the normalized-index table."""
+    sides; matched offsets map back through the normalized-index table.
+    Equivalent to scanning from `cursor`: the table is global, the search
+    starts at the first normalized position at-or-after cursor, skipping a
+    leading collapsed space (the per-cursor scan never emits one)."""
+    from bisect import bisect_left
+
     needle = " ".join(chunk.split())
     if not needle:
         return None
-    normalized: list[str] = []
-    index_map: list[int] = []
-    pending_ws: int | None = None
-    for i in range(max(0, cursor), len(text)):
-        ch = text[i]
-        if ch.isspace():
-            if normalized and pending_ws is None:
-                pending_ws = i
-            continue
-        if pending_ws is not None:
-            normalized.append(" ")
-            index_map.append(pending_ws)
-            pending_ws = None
-        normalized.append(ch)
-        index_map.append(i)
-    pos = "".join(normalized).find(needle)
+    norm, index_map = _ws_norm_table(text)
+    p0 = bisect_left(index_map, max(0, cursor))
+    if p0 < len(norm) and norm[p0] == " ":
+        p0 += 1
+    pos = norm.find(needle, p0)
     if pos < 0:
         return None
     return index_map[pos], index_map[pos + len(needle) - 1] + 1
@@ -480,10 +499,13 @@ def _build_chunk_text(segments: list[_Segment], start: int, end: int) -> str:
 # --- sentence splitting (semantic.ts:547-749) ----------------------------
 
 
+_TERMINATOR_RE = re.compile(r"[.!?]")
+
+
 def _split_line_into_sentences(line: str) -> list[str]:
-    chars = list(line)
-    if not chars:
+    if not line:
         return []
+    chars = list(line)
     sentences: list[str] = []
     start = 0
 
@@ -491,18 +513,23 @@ def _split_line_into_sentences(line: str) -> list[str]:
         nonlocal start
         if end <= start:
             return
-        sentence = "".join(chars[start:end]).strip()
+        sentence = line[start:end].strip()
         if sentence:
             sentences.append(sentence)
         start = end
 
+    # visit only terminator characters (regex scan) instead of every char —
+    # identical to the round-2 per-char walk because _is_boundary is False
+    # for everything outside [.!?]
     index = 0
     n = len(chars)
-    while index < n:
-        if not _is_boundary(chars, index):
-            index += 1
+    for match in _TERMINATOR_RE.finditer(line):
+        i = match.start()
+        if i < index:  # consumed by a previous sentence's terminator run
             continue
-        end = index + 1
+        if not _is_boundary(chars, i):
+            continue
+        end = i + 1
         while end < n and chars[end] in (".", "!", "?"):
             end += 1
         while end < n and chars[end] in _SENTENCE_CLOSERS:

@@ -49,14 +49,19 @@ def count_tokens_uncached(text: str) -> int:
     if not normalized:
         return 0
     total = 0
-    for match in _PRETOKEN.finditer(normalized):
-        piece = match.group(0)
+    # findall (no Match objects) + ascii fast path: ~2× faster than the
+    # round-2 finditer loop with identical outputs (len == utf-8 len for
+    # ascii pieces; (n+3)//4 ≥ 1 for n ≥ 1 so the old max(1, …) was
+    # redundant). This sits in the per-document kernel hot path.
+    for piece in _PRETOKEN.findall(normalized):
         if piece.isspace():
             # whitespace mostly fuses into the following token; long runs cost
-            total += len(piece) // 8
+            total += len(piece) >> 3
             continue
-        nbytes = len(piece.encode("utf-8"))
-        total += max(1, (nbytes + 3) // 4)
+        nbytes = len(piece)
+        if not piece.isascii():
+            nbytes = len(piece.encode("utf-8"))
+        total += (nbytes + 3) >> 2
     return total
 
 
