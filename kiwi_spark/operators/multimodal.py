@@ -245,6 +245,7 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     def process(batches):
         import pandas as pd
 
+        from ..functions.gif_decode import decode_gif
         from ..functions.jpeg_decode import decode_jpeg
 
         for batch in batches:
@@ -257,6 +258,7 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                     decode_bmp(payload)
                     or decode_png(payload)
                     or decode_jpeg(payload)
+                    or decode_gif(payload)
                 )
                 if decoded is not None:
                     width, height, luma = decoded
