@@ -188,9 +188,41 @@ def ahash64(luma) -> int:
     return value - (1 << 64) if value >= (1 << 63) else value
 
 
+def _g711_mulaw_table():
+    """ITU-T G.711 μ-law byte → linear PCM16, from the spec expansion."""
+    import numpy as np
+
+    table = np.zeros(256, dtype=np.float64)
+    for byte in range(256):
+        u = ~byte & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        table[byte] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return table / 32768.0
+
+
+def _g711_alaw_table():
+    """ITU-T G.711 A-law byte → linear PCM16, from the spec expansion."""
+    import numpy as np
+
+    table = np.zeros(256, dtype=np.float64)
+    for byte in range(256):
+        a = byte ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        else:
+            t = (t + 0x108) << (seg - 1)
+        table[byte] = t if (a & 0x80) else -t
+    return table / 32768.0
+
+
 def decode_wav(payload: bytes):
-    """PCM-16 RIFF/WAVE → (sample_rate, n_channels, duration_ms, rms, peak)
-    or None. Walks the chunk list (word-aligned), fmt + data required."""
+    """RIFF/WAVE → (sample_rate, n_channels, duration_ms, rms, peak) or
+    None. Walks the chunk list (word-aligned), fmt + data required.
+    Sample formats: PCM 8 (unsigned) / 16 / 24 / 32-bit, IEEE float32/64,
+    G.711 A-law/μ-law, and WAVE_FORMAT_EXTENSIBLE wrapping any of them."""
     import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -212,13 +244,47 @@ def decode_wav(payload: bytes):
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16 or n_channels < 1 or sample_rate <= 0:
+    if audio_format == 0xFFFE and len(fmt) >= 26:  # EXTENSIBLE: sub-format
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if n_channels < 1 or sample_rate <= 0:
         return None
-    frame_bytes = 2 * n_channels
+    sample_bytes = bits // 8
+    if sample_bytes <= 0:
+        return None
+    frame_bytes = sample_bytes * n_channels
     usable = len(data) // frame_bytes * frame_bytes
-    samples = (
-        np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
-    )
+    raw = data[:usable]
+    if audio_format == 1:  # integer PCM
+        if bits == 16:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 8:  # 8-bit PCM is unsigned
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        elif bits == 24:
+            b3 = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+            value = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            value -= (value & 0x800000) << 1  # sign-extend
+            samples = value.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(
+                1 << 31
+            )
+        else:
+            return None
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(raw, dtype="<f8").astype(np.float64)
+        else:
+            return None
+    elif audio_format == 6 and bits == 8:  # A-law
+        samples = _g711_alaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    elif audio_format == 7 and bits == 8:  # μ-law
+        samples = _g711_mulaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    else:
+        return None
     n_frames = usable // frame_bytes
     duration_ms = n_frames * 1000 // sample_rate
     if len(samples) == 0:

@@ -274,3 +274,91 @@ def test_spark_image_operator_decodes_png(spark):
         )
     ).collect()
     assert bmp[0]["phash"] == img[0]["phash"]
+
+
+# --- WAV sample-format family (PCM 8/24/32, float, G.711) --------------------
+
+
+def make_wav_fmt(raw: bytes, audio_format: int, bits: int,
+                 sample_rate: int = 8000, n_channels: int = 1,
+                 extensible: bool = False) -> bytes:
+    block = n_channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH",
+        0xFFFE if extensible else audio_format,
+        n_channels, sample_rate, sample_rate * block, block, bits,
+    )
+    if extensible:
+        fmt += struct.pack("<HI", 22, 0)[:2]  # cbSize=22
+        fmt += struct.pack("<H", bits)        # valid bits
+        fmt += struct.pack("<I", 0)           # channel mask
+        fmt += struct.pack("<H", audio_format) + b"\x00" * 14  # subformat GUID
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_pcm8_pcm24_pcm32_float():
+    from kiwi_spark.operators.multimodal import decode_wav
+
+    # PCM-8 unsigned: 128 → 0.0, 255 → 0.9921875, 0 → -1.0
+    rate, ch, _, rms, peak = decode_wav(
+        make_wav_fmt(bytes([128, 255, 0]), 1, 8)
+    )
+    assert (rate, ch) == (8000, 1)
+    assert abs(peak - 1.0) < 1e-12
+    expected_rms = ((0.0 ** 2 + (127 / 128) ** 2 + 1.0) / 3) ** 0.5
+    assert abs(rms - expected_rms) < 1e-12
+    # PCM-24: +2^22 → 0.5, -2^23 → -1.0
+    raw24 = struct.pack("<i", 1 << 22)[:3] + struct.pack("<i", -(1 << 23))[:3]
+    _, _, _, rms, peak = decode_wav(make_wav_fmt(raw24, 1, 24))
+    assert abs(peak - 1.0) < 1e-12
+    assert abs(rms - ((0.25 + 1.0) / 2) ** 0.5) < 1e-12
+    # PCM-32
+    raw32 = struct.pack("<ii", 1 << 30, -(1 << 31))
+    _, _, _, _, peak = decode_wav(make_wav_fmt(raw32, 1, 32))
+    assert abs(peak - 1.0) < 1e-12
+    # float32 passthrough
+    rawf = struct.pack("<ff", 0.25, -0.5)
+    _, _, _, rms, peak = decode_wav(make_wav_fmt(rawf, 3, 32))
+    assert abs(peak - 0.5) < 1e-7 and abs(rms - ((0.0625 + 0.25) / 2) ** 0.5) < 1e-7
+    # float64
+    rawd = struct.pack("<dd", 0.125, -0.125)
+    _, _, _, _, peak = decode_wav(make_wav_fmt(rawd, 3, 64))
+    assert abs(peak - 0.125) < 1e-12
+
+
+def _mulaw_encode(sample: int) -> int:
+    """Independent spec-side μ-law compressor (ITU G.711)."""
+    BIAS = 0x84
+    sign = 0x80 if sample < 0 else 0
+    if sample < 0:
+        sample = -sample
+    sample = min(sample + BIAS, 0x7FFF)
+    seg = 7
+    for s in range(8):
+        if sample < (0x100 << s):
+            seg = s
+            break
+    mantissa = (sample >> (seg + 3)) & 0x0F
+    return ~(sign | (seg << 4) | mantissa) & 0xFF
+
+
+def test_wav_mulaw_roundtrip_and_extensible():
+    from kiwi_spark.operators.multimodal import decode_wav
+
+    values = [0, 1000, -1000, 8000, -8000, 30000, -30000]
+    raw = bytes(_mulaw_encode(v) for v in values)
+    decoded = decode_wav(make_wav_fmt(raw, 7, 8))
+    assert decoded is not None
+    # μ-law quantization error ≤ segment step; peak within 3% of 30000/32768
+    _, _, _, _, peak = decoded
+    assert abs(peak - 30000 / 32768.0) < 0.03
+    # A-law anchor: byte 0x55 (a=0x00) → -8/32768 (smallest negative step)
+    _, _, _, _, peak_a = decode_wav(make_wav_fmt(bytes([0x55]), 6, 8))
+    assert abs(peak_a - 8 / 32768.0) < 1e-12
+    # EXTENSIBLE wrapper resolves the sub-format
+    samples = [0, 16384, -16384]
+    raw16 = b"".join(struct.pack("<h", s) for s in samples)
+    ext = decode_wav(make_wav_fmt(raw16, 1, 16, extensible=True))
+    assert ext is not None and abs(ext[4] - 0.5) < 1e-12
