@@ -301,23 +301,42 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _numbers(stack: list[bytes], n: int) -> list[float] | None:
+    """Last n numeric operands from the stack, in operand order."""
+    values: list[float] = []
+    for operand in reversed(stack):
+        try:
+            values.append(float(operand))
+        except ValueError:
+            continue
+        if len(values) == n:
+            return values[::-1]
+    return None
+
+
 def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
-    """Walk a content stream's text operators into plain text lines.
+    """Walk a content stream's text operators into positioned runs, then
+    assemble lines the way the reference does (loader/pdf/layout.ts
+    sortRegionsTopLeft): runs sort top-to-bottom with a 1pt y tolerance,
+    left-to-right within a line (emission order breaks ties), so text
+    emitted out of visual order still reads correctly. Positions track the
+    text line matrix through BT/Tm/Td/TD/TL/T*; ``'``/``\"`` perform their
+    implicit T*.
 
     ``fonts`` maps font resource names to (ToUnicode cmap, code width);
     strings shown while such a font is selected (tracked through ``Tf``)
     decode code-by-code via the cmap, everything else as Latin-1."""
-    lines: list[str] = []
-    current: list[str] = []
+    runs: list[tuple[float, float, int, str]] = []  # (y, x, seq, text)
     stack: list[bytes] = []  # recent operands
     current_font: str | None = None
+    lm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)  # text line matrix [a b c d e f]
+    leading = 0.0
+    seq = 0
 
-    def flush_line() -> None:
-        nonlocal current
-        text = "".join(current)
-        if text.strip():
-            lines.append(text)
-        current = []
+    def translate(tx: float, ty: float) -> None:
+        nonlocal lm
+        a, b, c, d, e, f = lm
+        lm = (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
 
     def decode_operand(operand: bytes) -> str | None:
         if operand[:1] == b"(":
@@ -334,6 +353,12 @@ def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
             return _apply_cmap(raw, cmap[0], cmap[1])
         return raw.decode("latin-1")
 
+    def emit(text: str | None) -> None:
+        nonlocal seq
+        if text:
+            runs.append((lm[5], lm[4], seq, text))
+            seq += 1
+
     for match in _TOKEN_RE.finditer(content):
         token = match.group(0)
         first = token[:1]
@@ -345,18 +370,36 @@ def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
             stack.append(token)
             continue
         op = token
-        if op == b"Tf":
+        if op == b"BT":
+            lm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        elif op == b"Tf":
             for operand in reversed(stack):
                 if operand[:1] == b"/":
                     current_font = operand[1:].decode("latin-1")
                     break
+        elif op == b"Tm":
+            values = _numbers(stack, 6)
+            if values:
+                lm = tuple(values)
+        elif op in (b"Td", b"TD"):
+            values = _numbers(stack, 2)
+            if values:
+                if op == b"TD":
+                    leading = -values[1]
+                translate(values[0], values[1])
+        elif op == b"TL":
+            values = _numbers(stack, 1)
+            if values:
+                leading = values[0]
+        elif op == b"T*":
+            translate(0.0, -leading)
         elif op in (b"Tj", b"'", b'"'):
             if op in (b"'", b'"'):
-                flush_line()  # ' and " move to the next line first
+                translate(0.0, -leading)  # implicit T*
             for operand in reversed(stack):
                 text = decode_operand(operand)
                 if text is not None:
-                    current.append(text)
+                    emit(text)
                     break
         elif op == b"TJ":
             start = 0
@@ -364,14 +407,27 @@ def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
                 if stack[index] == b"[":
                     start = index + 1
                     break
-            for operand in stack[start:]:
-                text = decode_operand(operand)
-                if text is not None:
-                    current.append(text)
-        elif op in (b"Td", b"TD", b"T*", b"Tm", b"ET"):
-            flush_line()
+            pieces = [decode_operand(o) for o in stack[start:]]
+            emit("".join(p for p in pieces if p is not None))
         stack = []
-    flush_line()
+
+    # line assembly: cluster run baselines within 1pt (layout.ts:57-66),
+    # top line first (PDF y axis points up), left-to-right within a line
+    runs.sort(key=lambda r: (-r[0], r[1], r[2]))
+    lines: list[str] = []
+    current: list[str] = []
+    line_y: float | None = None
+    for y, _x, _seq, text in runs:
+        if line_y is None or abs(y - line_y) > 1.0:
+            joined = "".join(current)
+            if joined.strip():
+                lines.append(joined)
+            current = []
+            line_y = y
+        current.append(text)
+    joined = "".join(current)
+    if joined.strip():
+        lines.append(joined)
     return "\n".join(lines)
 
 

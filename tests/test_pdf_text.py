@@ -44,7 +44,7 @@ S1 = "BT /F1 12 Tf 72 720 Td (Hello PDF world.) Tj 0 -14 Td (Second line.) Tj ET
 
 
 def test_pdf_pages_and_lines():
-    s2 = "BT [ (Kerned ) -120 (text) ] TJ T* (Next \\(esc\\) and \\101B) Tj ET"
+    s2 = "BT 14 TL [ (Kerned ) -120 (text) ] TJ T* (Next \\(esc\\) and \\101B) Tj ET"
     text = pdf_to_text(make_pdf([S1, s2]))
     assert text == (
         ":::PAGE-1:::\n\nHello PDF world.\nSecond line."
@@ -59,7 +59,7 @@ def test_pdf_flate_decode():
 
 
 def test_pdf_hex_strings_and_quote_ops():
-    content = "BT <48656C6C6F> Tj (next) ' ET"
+    content = "BT 12 TL <48656C6C6F> Tj (next) ' ET"
     assert extract_content_text(content.encode()) == "Hello\nnext"
 
 
@@ -91,7 +91,7 @@ def make_type0_pdf() -> bytes:
         b"endcmap\nend\n"
     )
     content = (
-        b"BT /F9 12 Tf <00410042> Tj T* <005000510052> Tj "
+        b"BT /F9 12 Tf 14 TL <00410042> Tj T* <005000510052> Tj "
         b"T* (\\000\\140\\000\\141) Tj T* <00600061> Tj ET"
     )
     objs = [
@@ -155,3 +155,26 @@ def test_pdf_resources_inherited_from_parent():
     out.append(b"%%EOF")
     text = pdf_to_text(b"\n".join(out))
     assert text == ":::PAGE-1:::\n\né"  # one-byte codespace, é
+
+
+def test_pdf_positional_line_assembly():
+    """layout.ts sortRegionsTopLeft semantics: runs emitted out of visual
+    order assemble top-to-bottom, left-to-right (1pt y tolerance); text
+    matrix (Tm) positioning and sub-point baseline jitter are honoured."""
+    content = (
+        "BT "
+        "1 0 0 1 300 700 Tm (world) Tj "   # right half of line 1, emitted first
+        "1 0 0 1 72 650 Tm (Second line.) Tj "
+        "1 0 0 1 72 700.4 Tm (Hello ) Tj "  # left half, 0.4pt baseline jitter
+        "ET"
+    )
+    assert extract_content_text(content.encode()) == "Hello world\nSecond line."
+
+
+def test_pdf_td_is_relative_to_line_matrix():
+    # Td composes with the line matrix; TD also sets the leading for T*
+    content = (
+        "BT 1 0 0 1 100 500 Tm (a) Tj 50 0 Td (b) Tj 0 -20 TD (c) Tj "
+        "T* (d) Tj ET"
+    )
+    assert extract_content_text(content.encode()) == "ab\nc\nd"
