@@ -325,7 +325,12 @@ def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
 
     ``fonts`` maps font resource names to (ToUnicode cmap, code width);
     strings shown while such a font is selected (tracked through ``Tf``)
-    decode code-by-code via the cmap, everything else as Latin-1."""
+    decode code-by-code via the cmap, everything else as Latin-1.
+
+    Known limit vs the reference: runs joined on a line are concatenated
+    verbatim — inter-run space inference (text.ts
+    shouldInsertSpaceBetweenChars) needs per-glyph advance widths from
+    font metrics, which belong to the unported rasterizer half."""
     runs: list[tuple[float, float, int, str]] = []  # (y, x, seq, text)
     stack: list[bytes] = []  # recent operands
     current_font: str | None = None
