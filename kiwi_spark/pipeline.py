@@ -20,6 +20,7 @@ Shuffle budget of a full run (the 100 TB story):
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -36,6 +37,21 @@ from .operators.materialize import (
 from .sources.catalog import Catalog
 
 STAGES = ["text", "raw_graph", "views", "id_map", "graph", "lineage"]
+
+
+def _parallel_commits(cat: Catalog, jobs: list[tuple]) -> None:
+    """Commit independent tables concurrently. Safe because manifests are
+    per-table (atomic os.replace flip each); Spark schedules the concurrent
+    write jobs across idle task slots, overlapping the per-job fixed
+    latency that otherwise serializes (the dominant cost of the views and
+    graph stages at high core counts)."""
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = [
+            pool.submit(cat.commit, df, table, stage=stage_name)
+            for df, table, stage_name in jobs
+        ]
+        for future in futures:
+            future.result()
 
 
 @dataclass
@@ -88,11 +104,16 @@ def run_pipeline(
     # explodes); every downstream stage reads these small flat tables
     # instead of re-scanning the heavy nested table
     def _views():
-        cat.commit(explode_units(raw_graph.select("units")), "units", stage="chunking")
         n, e, m = explode_graph(raw_graph)
-        cat.commit(n, "nodes_doc", stage="extracting")
-        cat.commit(e, "edges_doc", stage="extracting")
-        cat.commit(m, "mentions_doc", stage="extracting")
+        _parallel_commits(
+            cat,
+            [
+                (explode_units(raw_graph.select("units")), "units", "chunking"),
+                (n, "nodes_doc", "extracting"),
+                (e, "edges_doc", "extracting"),
+                (m, "mentions_doc", "extracting"),
+            ],
+        )
 
     stage("views", _views, ["units", "nodes_doc", "edges_doc", "mentions_doc"])
 
@@ -110,9 +131,14 @@ def run_pipeline(
     # 5. canonical graph + materialize
     def _graph():
         nodes, edges, mentions = canonicalize(nodes_doc, edges_doc, mentions_doc, id_map)
-        cat.commit(materialize_nodes(nodes, n_buckets), "nodes", stage="saving")
-        cat.commit(materialize_edges(edges, n_buckets), "edges", stage="saving")
-        cat.commit(materialize_mentions(mentions, n_buckets), "mentions", stage="saving")
+        _parallel_commits(
+            cat,
+            [
+                (materialize_nodes(nodes, n_buckets), "nodes", "saving"),
+                (materialize_edges(edges, n_buckets), "edges", "saving"),
+                (materialize_mentions(mentions, n_buckets), "mentions", "saving"),
+            ],
+        )
 
     stage("graph", _graph, ["nodes", "edges", "mentions"])
 
@@ -210,9 +236,14 @@ def incremental_add(
     cat.commit(entity_id_map(nodes_doc, mode=link_mode), "id_map", stage="deduplicating")
     id_map = cat.read(spark, "id_map")
     nodes, edges, mentions = canonicalize(nodes_doc, edges_doc, mentions_doc, id_map)
-    cat.commit(materialize_nodes(nodes, n_buckets), "nodes", stage="saving")
-    cat.commit(materialize_edges(edges, n_buckets), "edges", stage="saving")
-    cat.commit(materialize_mentions(mentions, n_buckets), "mentions", stage="saving")
+    _parallel_commits(
+        cat,
+        [
+            (materialize_nodes(nodes, n_buckets), "nodes", "saving"),
+            (materialize_edges(edges, n_buckets), "edges", "saving"),
+            (materialize_mentions(mentions, n_buckets), "mentions", "saving"),
+        ],
+    )
     result.timings["relink"] = round(time.time() - started, 3)
 
     for table in ("nodes", "edges", "mentions"):
