@@ -78,54 +78,20 @@ def decode_bmp(payload: bytes):
     return width, h, luma
 
 
-def decode_png(payload: bytes):
-    """Non-interlaced 8-bit-depth PNG → (width, height, luma ndarray) or
-    None. Pure stdlib-zlib + numpy (VERDICT r2 #5; covers the reference's
-    own PNG path, loader/pdf/png.ts): IDAT inflate, per-row unfilter
-    (None/Sub/Up/Average/Paeth), color types 0 gray / 2 RGB / 3 palette /
-    4 gray+alpha / 6 RGBA, BT.601 luma (alpha ignored)."""
-    import zlib
-
+def _png_unfilter(raw: bytes, offset: int, width_px: int, height: int,
+                  channels: int):
+    """Unfilter `height` scanlines of `width_px` pixels starting at
+    `offset` in the inflated stream. Returns (rows uint8 ndarray of shape
+    (height, width_px*channels), bytes consumed) or None on error."""
     import numpy as np
 
-    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
-        return None
-    pos = 8
-    ihdr = None
-    plte = None
-    idat: list[bytes] = []
-    while pos + 8 <= len(payload):
-        length = int.from_bytes(payload[pos : pos + 4], "big")
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"PLTE":
-            plte = data
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None or len(ihdr) < 13 or not idat:
-        return None
-    width = int.from_bytes(ihdr[0:4], "big")
-    height = int.from_bytes(ihdr[4:8], "big")
-    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if channels is None or depth != 8 or interlace != 0 or width <= 0 or height <= 0:
-        return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
+    stride = width_px * channels
+    if len(raw) < offset + height * (stride + 1):
         return None
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     bpp = channels
-    cursor = 0
+    cursor = offset
     for y in range(height):
         ftype = raw[cursor]
         line = np.frombuffer(
@@ -156,6 +122,81 @@ def decode_png(payload: bytes):
             return None
         out[y] = line
         prev = line
+    return out, cursor - offset
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def decode_png(payload: bytes):
+    """8-bit-depth PNG → (width, height, luma ndarray) or None. Pure
+    stdlib-zlib + numpy (VERDICT r2 #5; covers the reference's own PNG
+    path, loader/pdf/png.ts): IDAT inflate, per-row unfilter
+    (None/Sub/Up/Average/Paeth), color types 0 gray / 2 RGB / 3 palette /
+    4 gray+alpha / 6 RGBA, Adam7 interlace, BT.601 luma (alpha ignored)."""
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos = 8
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if (
+        channels is None or depth != 8 or interlace not in (0, 1)
+        or width <= 0 or height <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    if interlace == 0:
+        decoded = _png_unfilter(raw, 0, width, height, channels)
+        if decoded is None:
+            return None
+        out = decoded[0]
+    else:  # Adam7: 7 independently-filtered sub-images
+        out = np.zeros((height, width * channels), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pass_w = (width - x0 + dx - 1) // dx
+            pass_h = (height - y0 + dy - 1) // dy
+            if pass_w <= 0 or pass_h <= 0:
+                continue  # empty pass carries no scanlines
+            decoded = _png_unfilter(raw, offset, pass_w, pass_h, channels)
+            if decoded is None:
+                return None
+            rows, consumed = decoded
+            offset += consumed
+            px = rows.reshape(pass_h, pass_w, channels)
+            grid = out.reshape(height, width, channels)
+            grid[y0::dy, x0::dx] = px
     if color == 3:
         if plte is None or len(plte) % 3:
             return None

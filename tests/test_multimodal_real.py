@@ -362,3 +362,71 @@ def test_wav_mulaw_roundtrip_and_extensible():
     raw16 = b"".join(struct.pack("<h", s) for s in samples)
     ext = decode_wav(make_wav_fmt(raw16, 1, 16, extensible=True))
     assert ext is not None and abs(ext[4] - 0.5) < 1e-12
+
+
+def make_png_adam7(pixels: list[list[tuple]], color_type: int = 2) -> bytes:
+    """Interlaced PNG writer: each Adam7 pass is an independently filtered
+    sub-image (filter 0 rows, one pass gets filter 2 to exercise per-pass
+    unfiltering)."""
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    height = len(pixels)
+    width = len(pixels[0])
+    passes = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    raw = bytearray()
+    for pass_index, (x0, y0, dx, dy) in enumerate(passes):
+        rows = [
+            [c for x in range(x0, width, dx) for c in pixels[y][x]]
+            for y in range(y0, height, dy)
+        ]
+        if not rows or not rows[0]:
+            continue
+        use_up = pass_index == 6 and len(rows) > 1
+        prev = [0] * len(rows[0])
+        for row in rows:
+            if use_up:
+                raw.append(2)  # Up filter
+                raw += bytes((v - p) & 0xFF for v, p in zip(row, prev))
+            else:
+                raw.append(0)
+                raw += bytes(row)
+            prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as z
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", z.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_adam7_interlaced():
+    from kiwi_spark.operators.multimodal import decode_png
+
+    # 9×10 RGB: every pixel distinct so any pass misplacement shows
+    pixels = [
+        [((x * 7 + y * 31) % 256, (x * 13 + y * 3) % 256, (x + y * 17) % 256)
+         for x in range(9)]
+        for y in range(10)
+    ]
+    w, h, luma = decode_png(make_png_adam7(pixels))
+    assert (w, h) == (9, 10)
+    for y in range(10):
+        for x in range(9):
+            r, g, b = pixels[y][x]
+            assert abs(luma[y][x] - (0.299 * r + 0.587 * g + 0.114 * b)) < 1e-9, (y, x)
+    # small image where several passes are empty
+    tiny = [[(10, 20, 30), (40, 50, 60)]]
+    w, h, luma = decode_png(make_png_adam7(tiny))
+    assert (w, h) == (2, 1)
+    assert abs(luma[0][0] - (0.299 * 10 + 0.587 * 20 + 0.114 * 30)) < 1e-9
