@@ -138,7 +138,7 @@ def _with_keys(nodes: DataFrame, fuzzy: bool) -> DataFrame:
     """
     from pyspark.sql.types import ArrayType, StringType
 
-    from ..functions.linking import blocking_keys, compact_name_key, tokenize, is_acronym_token
+    from ..functions.linking import blocking_keys, tokenize, is_acronym_token
 
     if fuzzy:
 
