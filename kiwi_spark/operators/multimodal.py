@@ -343,10 +343,11 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     """images → (width, height, mean luma, perceptual hash).
 
-    BMP, PNG and baseline JPEG payloads are decoded for REAL (pure
-    numpy/zlib/from-spec Huffman+IDCT — decode_bmp / decode_png /
-    functions.jpeg_decode); progressive JPEG and exotic formats need PIL —
-    STUBBED behind ``fake=True``.
+    BMP, PNG, GIF and JPEG (baseline AND progressive) payloads are decoded
+    for REAL (pure numpy/zlib/from-spec Huffman+IDCT — decode_bmp /
+    decode_png / functions.gif_decode / functions.jpeg_decode); the
+    remaining exotic formats (WebP/TIFF/video) need PIL/pyav — STUBBED
+    behind ``fake=True``.
     """
 
     def process(batches):
@@ -373,7 +374,7 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                     phash = ahash64(luma)
                 elif not fake:
                     raise NotImplementedError(
-                        "non-BMP/PNG/baseline-JPEG image decoding requires "
+                        "non-BMP/PNG/GIF/JPEG image decoding requires "
                         "PIL — not available in this environment; pass "
                         "fake=True for plumbing tests"
                     )

@@ -42,10 +42,10 @@ class _BitWriter:
 # AC symbols EOB, (0,1), (1,1), ZRL as the 4 length-4 codes 0000..0011
 DC_COUNTS = bytes([0, 0, 0, 8] + [0] * 12)
 DC_SYMBOLS = bytes(range(8))
-AC_COUNTS = bytes([0, 0, 0, 4] + [0] * 12)
-AC_SYMBOLS = bytes([0x00, 0x01, 0x11, 0xF0])
+AC_COUNTS = bytes([0, 0, 0, 5] + [0] * 12)
+AC_SYMBOLS = bytes([0x00, 0x01, 0x11, 0xF0, 0x10])
 DC_CODE = {s: (s, 4) for s in range(8)}          # symbol → (code, length)
-AC_CODE = {0x00: (0, 4), 0x01: (1, 4), 0x11: (2, 4), 0xF0: (3, 4)}
+AC_CODE = {0x00: (0, 4), 0x01: (1, 4), 0x11: (2, 4), 0xF0: (3, 4), 0x10: (4, 4)}
 
 
 def _dc_bits(writer: _BitWriter, diff: int) -> None:
@@ -171,15 +171,15 @@ def test_jpeg_restart_interval_resets_prediction():
     assert np.allclose(luma[:, 8:], 129.0)   # 8/8 + 128
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_lossless_and_garbage():
     assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
-    # SOF2 (progressive) frame → unsupported
+    # SOF3 (lossless) frame → unsupported
     w = _BitWriter()
     _dc_bits(w, 0)
     w.write(*AC_CODE[0x00])
     good = make_jpeg(8, 8, [{"id": 1, "h": 1, "v": 1}], w.tobytes())
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2")
-    assert decode_jpeg(progressive) is None
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3")
+    assert decode_jpeg(lossless) is None
 
 
 def test_spark_image_operator_decodes_jpeg(spark):
@@ -197,3 +197,168 @@ def test_spark_image_operator_decodes_jpeg(spark):
     assert len(rows) == 1
     assert rows[0]["width"] == 8 and rows[0]["height"] == 8
     assert abs(rows[0]["mean_luma"] - 130.0 / 255.0) < 1e-9
+
+
+# --- progressive (SOF2): spectral selection + successive approximation ------
+
+
+def make_progressive_jpeg(width: int, height: int, scans: list[dict]) -> bytes:
+    """scans: [{'ss','se','ah','al','bits': _BitWriter, 'rst': bytes|None}]
+    over a single grayscale component."""
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([1, 1, 0x11, 0])
+    out += _seg(0xC2, sof)  # SOF2 progressive
+    out += _seg(0xC4, bytes([0x00]) + DC_COUNTS + DC_SYMBOLS)
+    out += _seg(0xC4, bytes([0x10]) + AC_COUNTS + AC_SYMBOLS)
+    for scan in scans:
+        sos = bytes([1, 1, 0x00])
+        sos += bytes([scan["ss"], scan["se"], (scan["ah"] << 4) | scan["al"]])
+        out += _seg(0xDA, sos)
+        out += scan["bits"].tobytes()
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_dc_successive_approximation():
+    # scan 1: DC first at Al=1 → coded value 16>>1 = 8; scan 2: refine bit 0
+    s1 = _BitWriter()
+    _dc_bits(s1, 8)
+    s2 = _BitWriter()
+    s2.write(0, 1)
+    payload = make_progressive_jpeg(8, 8, [
+        {"ss": 0, "se": 0, "ah": 0, "al": 1, "bits": s1},
+        {"ss": 0, "se": 0, "ah": 1, "al": 0, "bits": s2},
+    ])
+    width, height, luma = decode_jpeg(payload)
+    assert (width, height) == (8, 8)
+    assert np.allclose(luma, 130.0)  # DC (8<<1)|0 = 16 → 16/8 + 128
+
+
+def test_jpeg_progressive_spectral_selection_matches_baseline():
+    # DC scan then AC band scan: final coefficients equal the baseline
+    # AC test (DC=16, +1 at zigzag 1) → identical pixels
+    s1 = _BitWriter()
+    _dc_bits(s1, 16)
+    s2 = _BitWriter()
+    s2.write(*AC_CODE[0x01])
+    s2.write(1, 1)
+    s2.write(*AC_CODE[0x00])  # EOB
+    payload = make_progressive_jpeg(8, 8, [
+        {"ss": 0, "se": 0, "ah": 0, "al": 0, "bits": s1},
+        {"ss": 1, "se": 63, "ah": 0, "al": 0, "bits": s2},
+    ])
+    _, _, luma = decode_jpeg(payload)
+
+    wb = _BitWriter()
+    _dc_bits(wb, 16)
+    wb.write(*AC_CODE[0x01])
+    wb.write(1, 1)
+    wb.write(*AC_CODE[0x00])
+    _, _, baseline = decode_jpeg(
+        make_jpeg(8, 8, [{"id": 1, "h": 1, "v": 1}], wb.tobytes())
+    )
+    assert np.allclose(luma, baseline, atol=1e-12)
+
+
+def test_jpeg_progressive_ac_refinement():
+    # AC first at Al=1 codes 3>>1 = 1 at zigzag 1 (stored as 2);
+    # AC refine at Al=0: correction-only block → EOB then 1 bit → 3
+    s1 = _BitWriter()
+    _dc_bits(s1, 16)
+    s2 = _BitWriter()
+    s2.write(*AC_CODE[0x01])
+    s2.write(1, 1)
+    s2.write(*AC_CODE[0x00])
+    s3 = _BitWriter()
+    s3.write(*AC_CODE[0x00])  # EOB run of 1: corrections only
+    s3.write(1, 1)            # correction bit for the nonzero coeff
+    payload = make_progressive_jpeg(8, 8, [
+        {"ss": 0, "se": 0, "ah": 0, "al": 0, "bits": s1},
+        {"ss": 1, "se": 63, "ah": 0, "al": 1, "bits": s2},
+        {"ss": 1, "se": 63, "ah": 1, "al": 0, "bits": s3},
+    ])
+    _, _, luma = decode_jpeg(payload)
+
+    import math
+
+    def c(u):
+        return math.sqrt(0.125) if u == 0 else 0.5
+
+    expected = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            value = 0.0
+            for (u, v, coeff) in [(0, 0, 16.0), (0, 1, 3.0)]:
+                value += (
+                    c(u) * c(v) * coeff
+                    * math.cos((2 * y + 1) * u * math.pi / 16)
+                    * math.cos((2 * x + 1) * v * math.pi / 16)
+                )
+            expected[y, x] = value + 128.0
+    assert np.allclose(luma, expected, atol=1e-9)
+
+
+def test_jpeg_progressive_ac_refine_new_coefficient():
+    # refinement scans can also INSERT a new ±1<<Al coefficient: block has
+    # +2 at zigzag 1 (from the first scan), the refine scan adds -1 at
+    # zigzag 2 then corrects zigzag 1 upward: final = 3 at z1, -1 at z2
+    s1 = _BitWriter()
+    _dc_bits(s1, 16)
+    s2 = _BitWriter()
+    s2.write(*AC_CODE[0x01])
+    s2.write(1, 1)            # +1<<1 = 2 at zigzag 1
+    s2.write(*AC_CODE[0x00])
+    s3 = _BitWriter()
+    s3.write(*AC_CODE[0x01])  # (run 0, size 1): new coefficient
+    s3.write(0, 1)            # sign bit 0 → -1<<Al = -1
+    s3.write(1, 1)            # correction bit for existing z1 coeff (2→3)
+    # the new coefficient lands at the first zero-history position (z2)
+    s3.write(*AC_CODE[0x00])  # EOB for the rest
+    payload = make_progressive_jpeg(8, 8, [
+        {"ss": 0, "se": 0, "ah": 0, "al": 0, "bits": s1},
+        {"ss": 1, "se": 63, "ah": 0, "al": 1, "bits": s2},
+        {"ss": 1, "se": 63, "ah": 1, "al": 0, "bits": s3},
+    ])
+    _, _, luma = decode_jpeg(payload)
+
+    import math
+
+    def c(u):
+        return math.sqrt(0.125) if u == 0 else 0.5
+
+    # zigzag 1 = (0,1); zigzag 2 = (1,0)
+    expected = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            value = 0.0
+            for (u, v, coeff) in [(0, 0, 16.0), (0, 1, 3.0), (1, 0, -1.0)]:
+                value += (
+                    c(u) * c(v) * coeff
+                    * math.cos((2 * y + 1) * u * math.pi / 16)
+                    * math.cos((2 * x + 1) * v * math.pi / 16)
+                )
+            expected[y, x] = value + 128.0
+    assert np.allclose(luma, expected, atol=1e-9)
+
+
+def test_jpeg_progressive_eob_run_spans_blocks():
+    # 16×8: AC band scan codes block 1's coefficient then an EOB run of 2
+    # (r=1, 0 extra bits) covering blocks 1..2 — block 2's band stays zero
+    s1 = _BitWriter()
+    _dc_bits(s1, 16)
+    _dc_bits(s1, 8)   # DC 24
+    s2 = _BitWriter()
+    s2.write(*AC_CODE[0x01])
+    s2.write(1, 1)
+    s2.write(*AC_CODE[0x10])  # EOB run: r=1 → eobrun = 2-1 after this block
+    s2.write(0, 1)            # 1 extra bit (value 0): eobrun = (1<<1)-1+0 = 1
+    payload = make_progressive_jpeg(16, 8, [
+        {"ss": 0, "se": 0, "ah": 0, "al": 0, "bits": s1},
+        {"ss": 1, "se": 63, "ah": 0, "al": 0, "bits": s2},
+    ])
+    width, height, luma = decode_jpeg(payload)
+    assert (width, height) == (16, 8)
+    assert np.allclose(luma[:, 8:], 131.0)  # block 2: DC-only 24/8+128
+    # block 1 has DC 16 + AC(+1 at z1): row means differ from uniform
+    assert not np.allclose(luma[:, :8], 130.0)
