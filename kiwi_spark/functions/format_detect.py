@@ -56,7 +56,7 @@ _EXT_MAP = {
     "docx": "docx", "xlsx": "xlsx", "pptx": "pptx",
     "odt": "odt", "odp": "odp",
     "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
-    "webp": "image",
+    "webp": "image", "tif": "image", "tiff": "image",
     "msg": "msg", "doc": "doc", "ppt": "ppt", "xls": "xls",
 }
 
@@ -67,6 +67,8 @@ _MAGIC = [
     (b"GIF87a", "image"),
     (b"GIF89a", "image"),
     (b"RIFF", "image"),  # webp container
+    (b"II*\x00", "image"),  # TIFF little-endian
+    (b"MM\x00*", "image"),  # TIFF big-endian
 ]
 
 

@@ -343,10 +343,10 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     """images → (width, height, mean luma, perceptual hash).
 
-    BMP, PNG, GIF and JPEG (baseline AND progressive) payloads are decoded
-    for REAL (pure numpy/zlib/from-spec Huffman+IDCT — decode_bmp /
-    decode_png / functions.gif_decode / functions.jpeg_decode); the
-    remaining exotic formats (WebP/TIFF/video) need PIL/pyav — STUBBED
+    BMP, PNG, GIF, TIFF and JPEG (baseline AND progressive) payloads are
+    decoded for REAL (pure numpy/zlib/from-spec decoders — decode_bmp /
+    decode_png / functions.gif_decode / functions.tiff_decode /
+    functions.jpeg_decode); WebP/video need codec libraries — STUBBED
     behind ``fake=True``.
     """
 
@@ -355,6 +355,7 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
 
         from ..functions.gif_decode import decode_gif
         from ..functions.jpeg_decode import decode_jpeg
+        from ..functions.tiff_decode import decode_tiff
 
         for batch in batches:
             rows = []
@@ -367,6 +368,7 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                     or decode_png(payload)
                     or decode_jpeg(payload)
                     or decode_gif(payload)
+                    or decode_tiff(payload)
                 )
                 if decoded is not None:
                     width, height, luma = decoded
@@ -374,7 +376,7 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                     phash = ahash64(luma)
                 elif not fake:
                     raise NotImplementedError(
-                        "non-BMP/PNG/GIF/JPEG image decoding requires "
+                        "non-BMP/PNG/GIF/TIFF/JPEG image decoding requires "
                         "PIL — not available in this environment; pass "
                         "fake=True for plumbing tests"
                     )
