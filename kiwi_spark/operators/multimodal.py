@@ -3,14 +3,18 @@
 The Spark-side plumbing (schemas, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Codecs:
 
-* REAL pure-Python decoders for the container formats that need no external
-  library: uncompressed 24-bit BMP, non-interlaced 8-bit PNG (stdlib-zlib
-  IDAT inflate + full unfilter; gray/RGB/palette/alpha) — both feeding
-  width/height/true mean luma/8×8 average-hash — and PCM-16 RIFF/WAVE
-  (``decode_audio_features`` — sample rate, channels, duration, RMS, peak).
-* Other formats (JPEG/MP4…) require PIL/pyav, absent in this
-  environment — those paths raise ``NotImplementedError`` unless
-  ``fake=True`` (deterministic bytes-derived fake for plumbing tests).
+* REAL pure-Python decoders for every image container feasible without
+  codec libraries: uncompressed 24-bit BMP, 8-bit PNG (full unfilter,
+  Adam7 interlace, all color types), JPEG (baseline AND progressive),
+  GIF (full LZW, interlace) and TIFF (strips, PackBits/TIFF-LZW,
+  predictor) — all feeding width/height/true mean luma/8×8 average-hash —
+  plus RIFF/WAVE audio across the sample-format family (PCM 8/16/24/32,
+  float, G.711 A-law/μ-law, EXTENSIBLE) → sample rate, channels,
+  duration, RMS, peak.
+* Only WebP and video remain stubbed (VP8/codec bitstreams need
+  PIL/pyav, absent here) — those paths raise ``NotImplementedError``
+  unless ``fake=True`` (deterministic bytes-derived fake for plumbing
+  tests).
 
 Replacing a stub in production = swapping the marked section for
 PIL/torchaudio/pyav calls inside the same mapInPandas generator.
