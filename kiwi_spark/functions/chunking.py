@@ -106,15 +106,22 @@ def _locate_chunk(text: str, chunk: str, cursor: int) -> tuple[int, int] | None:
 _NONWS_RE = re.compile(r"\S+")
 
 
-@lru_cache(maxsize=8)
-def _ws_norm_table(text: str) -> tuple[str, list[int]]:
+@lru_cache(maxsize=2)
+def _ws_norm_table(text: str):
     """Whitespace-run-collapsed view of `text` + normalized→original index
     map (each collapsed space maps to its run's start, i.e. the index just
     past the previous non-ws run). Memoized per text so resolve_spans'
     repeated fuzzy fallbacks don't rebuild an O(doc) table per chunk; the
-    runs come from one regex scan instead of a per-char Python loop."""
+    runs come from one regex scan instead of a per-char Python loop.
+
+    The map is a compact array('q') (8 bytes/char; bisect works on it
+    directly) and the cache holds ≤2 documents — resolve_spans processes one
+    document at a time, and caching 8 multi-MB docs of per-char Python ints
+    pinned hundreds of MB per executor python worker."""
+    from array import array
+
     parts: list[str] = []
-    index_map: list[int] = []
+    index_map = array("q")
     prev_end: int | None = None
     for match in _NONWS_RE.finditer(text):
         a, b = match.span()

@@ -136,6 +136,10 @@ def decode_gif(payload: bytes):
         luma = np.zeros((screen_h, screen_w), dtype=np.float64)
         y1 = min(screen_h, top + fh)
         x1 = min(screen_w, left + fw)
-        luma[top:y1, left:x1] = frame_luma[: y1 - top, : x1 - left]
+        # a malformed descriptor may place the frame past the logical screen
+        # (top ≥ screen_h / left ≥ screen_w → negative slice extents); skip
+        # compositing rather than raising inside the mapInPandas UDF
+        if top < y1 and left < x1:
+            luma[top:y1, left:x1] = frame_luma[: y1 - top, : x1 - left]
         return screen_w, screen_h, luma
     return None

@@ -81,6 +81,10 @@ class _BitReader:
             self.pos += 1
             self.bitbuf = (self.bitbuf << 8) | byte
             self.nbits += 8
+        # drop already-consumed high bits so bitbuf stays ≤ 32 bits wide —
+        # otherwise it grows by 8 bits per input byte and every shift in
+        # read_bit/_fill becomes O(bytes consumed) (quadratic in scan size)
+        self.bitbuf &= (1 << self.nbits) - 1
         return self.nbits > 0
 
     def read_bit(self) -> int:
@@ -399,7 +403,10 @@ def _decode_scan(reader, components, stores, scan_comps, huff_dc, huff_ac,
             raise ValueError("missing huffman table")
         return dc, ac
 
-    if len(scan_comps) > 1 or not progressive:
+    # T.81 §A.2: a scan is interleaved iff it codes >1 component; ANY
+    # single-component scan (baseline included) is non-interleaved and rasters
+    # the component's real bw×bh block grid, not the padded MCU grid.
+    if len(scan_comps) > 1:
         # interleaved MCU scan (baseline full-spectral, or progressive DC)
         unit = 0
         for my in range(mcus_y):
@@ -442,7 +449,12 @@ def _decode_scan(reader, components, stores, scan_comps, huff_dc, huff_ac,
                 predictors = [0] * len(components)
                 eobrun = 0
             block = grid[by, bx]
-            if dc_only:
+            if not progressive:
+                dc, ac = tables(dc_id, ac_id, True, True)
+                predictors[index] = _decode_block_baseline(
+                    reader, dc, ac, block, predictors[index]
+                )
+            elif dc_only:
                 if ah == 0:
                     dc, _ = tables(dc_id, ac_id, True, False)
                     predictors[index] = _decode_block_dc_first(

@@ -251,12 +251,14 @@ def _page_fonts(page_body: bytes,
 
 
 def _apply_cmap(raw: bytes, mapping: dict[int, str], code_bytes: int) -> str:
+    # codes absent from the ToUnicode mapping become U+FFFD, matching the
+    # reference's UNICODE_REPLACEMENT_CHARACTER fallback (loader/pdf/
+    # unicode.ts) — dropping them would silently lose text on
+    # partially-mapped composite fonts
     out: list[str] = []
     for i in range(0, len(raw), code_bytes):
         code = int.from_bytes(raw[i : i + code_bytes], "big")
-        mapped = mapping.get(code)
-        if mapped is not None:
-            out.append(mapped)
+        out.append(mapping.get(code, "�"))
     return "".join(out)
 
 

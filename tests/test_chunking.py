@@ -98,3 +98,19 @@ def test_tiny_chunk_merge():
     text = "# H\n\n" + ("word " * 300).strip()
     chunks = chunk_text(text, 100)
     assert all(count_tokens(c) > 5 or len(chunks) == 1 for c in chunks)
+
+
+def test_ws_norm_table_is_compact_and_cache_is_small():
+    """ADVICE r3: the fuzzy-find index map must be a compact typed array
+    (not per-char Python ints) and the per-text cache must stay tiny —
+    8 cached multi-MB docs of boxed ints pinned 100s of MB per worker."""
+    from array import array
+
+    from kiwi_spark.functions.chunking import _ws_norm_table
+
+    _ws_norm_table.cache_clear()
+    norm, index_map = _ws_norm_table("hello   world\n\tfoo")
+    assert norm == "hello world foo"
+    assert isinstance(index_map, array) and index_map.typecode == "q"
+    assert list(index_map[:6]) == [0, 1, 2, 3, 4, 5]   # 'hello' + run start
+    assert _ws_norm_table.cache_info().maxsize <= 2

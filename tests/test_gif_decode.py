@@ -138,3 +138,18 @@ def test_spark_image_operator_decodes_gif(spark):
     assert out[0]["width"] == 2 and out[0]["height"] == 2
     expected_mean = sum(_luma(PAL4[i]) for r in rows for i in r) / 4 / 255.0
     assert abs(out[0]["mean_luma"] - expected_mean) < 1e-9
+
+
+def test_gif_frame_rect_past_screen_is_skipped_not_error():
+    """ADVICE r3: a malformed image descriptor placing the frame past the
+    logical screen (top ≥ screen_h) must not raise (one bad GIF would fail
+    the whole mapInPandas stage) — compositing is skipped instead."""
+    payload = bytearray(make_gif(2, 2, PAL4, [[0, 1], [2, 3]]))
+    desc = 13 + 3 * len(PAL4)            # image descriptor offset
+    assert payload[desc] == 0x2C
+    payload[desc + 3 : desc + 5] = (3).to_bytes(2, "little")  # top = 3
+    result = decode_gif(bytes(payload))
+    assert result is not None
+    width, height, luma = result
+    assert (width, height) == (2, 2)
+    assert np.allclose(luma, 0.0)        # nothing composited

@@ -362,3 +362,95 @@ def test_jpeg_progressive_eob_run_spans_blocks():
     assert np.allclose(luma[:, 8:], 131.0)  # block 2: DC-only 24/8+128
     # block 1 has DC 16 + AC(+1 at z1): row means differ from uniform
     assert not np.allclose(luma[:, :8], 130.0)
+
+
+# --- ADVICE r3 regressions ---------------------------------------------------
+
+
+def test_bitreader_buffer_stays_bounded():
+    """ADVICE r3: _BitReader.bitbuf must not grow with bytes consumed —
+    an unbounded Python int made decoding quadratic in scan size (a
+    restart-free few-hundred-KB scan effectively hung the executor)."""
+    from kiwi_spark.functions.jpeg_decode import _BitReader
+
+    data = bytes((i * 37 + 11) % 255 for i in range(20_000))  # no 0xFF bytes
+    reader = _BitReader(data, 0)
+    for i in range(8 * len(data)):
+        reader.read_bit()
+        if i % 4096 == 0:
+            assert reader.bitbuf.bit_length() <= 32
+    assert reader.bitbuf.bit_length() <= 32
+
+
+def make_jpeg_multiscan(width: int, height: int, components: list[dict],
+                        scans: list[tuple[int, bytes]]) -> bytes:
+    """Baseline JPEG with one SOS PER COMPONENT (non-interleaved scans).
+    scans: [(component list index, entropy bytes)]."""
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([len(components)])
+    for c in components:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + DC_COUNTS + DC_SYMBOLS)
+    out += _seg(0xC4, bytes([0x10]) + AC_COUNTS + AC_SYMBOLS)
+    for index, bits in scans:
+        out += _seg(0xDA, bytes([1, components[index]["id"], 0x00, 0, 63, 0]))
+        out += bits
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_baseline_separate_component_scans_use_raster_grid():
+    """ADVICE r3: T.81 §A.2 — ANY single-component scan is non-interleaved
+    (the component's real bw×bh grid in raster order), including baseline.
+    32×16 with Y 2×2 makes raster order differ from MCU order, so routing
+    the scan through the interleaved branch would garble the block grid."""
+    y = _BitWriter()
+    for _ in range(8):            # Y DCs 8,16,...,64 in RASTER order
+        _dc_bits(y, 8)
+        y.write(*AC_CODE[0x00])
+    cb = _BitWriter()
+    for _ in range(2):            # Cb: bw=2, bh=1
+        _dc_bits(cb, 0)
+        cb.write(*AC_CODE[0x00])
+    cr = _BitWriter()
+    for _ in range(2):
+        _dc_bits(cr, 0)
+        cr.write(*AC_CODE[0x00])
+    comps = [
+        {"id": 1, "h": 2, "v": 2},
+        {"id": 2, "h": 1, "v": 1},
+        {"id": 3, "h": 1, "v": 1},
+    ]
+    payload = make_jpeg_multiscan(
+        32, 16, comps, [(0, y.tobytes()), (1, cb.tobytes()), (2, cr.tobytes())]
+    )
+    width, height, luma = decode_jpeg(payload)
+    assert (width, height) == (32, 16)
+    for by in range(2):
+        for bx in range(4):
+            dc = 8 * (by * 4 + bx + 1)
+            assert np.allclose(
+                luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], dc / 8 + 128.0
+            ), (by, bx)
+
+
+def test_jpeg_single_component_frame_with_sampling_factors():
+    """Single-component frames are always non-interleaved even when the
+    declared sampling factors are >1 (T.81: MCU = one block over bw×bh)."""
+    w = _BitWriter()
+    for _ in range(8):            # bw=4, bh=2 raster blocks, DCs 8..64
+        _dc_bits(w, 8)
+        w.write(*AC_CODE[0x00])
+    payload = make_jpeg_multiscan(
+        32, 16, [{"id": 1, "h": 2, "v": 2}], [(0, w.tobytes())]
+    )
+    width, height, luma = decode_jpeg(payload)
+    assert (width, height) == (32, 16)
+    for by in range(2):
+        for bx in range(4):
+            dc = 8 * (by * 4 + bx + 1)
+            assert np.allclose(
+                luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], dc / 8 + 128.0
+            ), (by, bx)

@@ -178,3 +178,33 @@ def test_pdf_td_is_relative_to_line_matrix():
         "T* (d) Tj ET"
     )
     assert extract_content_text(content.encode()) == "ab\nc\nd"
+
+
+def test_pdf_cmap_unmapped_code_becomes_replacement_char():
+    """ADVICE r3: codes absent from a partially-mapped ToUnicode CMap must
+    yield U+FFFD (unicode.ts UNICODE_REPLACEMENT_CHARACTER), not be
+    silently dropped."""
+    cmap = (
+        b"begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <00E9>\nendbfchar\nendcmap\n"
+    )
+    content = b"BT /F1 9 Tf <414241> Tj ET"   # 0x42 is unmapped
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            b"/Resources << /Font << /F1 6 0 R >> >> >>", None),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>", None),
+        (5, b"<< /Length %d >>" % len(content), content),
+        (6, b"<< /Type /Font /ToUnicode 7 0 R >>", None),
+        (7, b"<< /Length %d >>" % len(cmap), cmap),
+    ]
+    out = [b"%PDF-1.5"]
+    for num, body, stream in objs:
+        piece = b"%d 0 obj\n" % num + body
+        if stream is not None:
+            piece += b"\nstream\n" + stream + b"\nendstream"
+        piece += b"\nendobj"
+        out.append(piece)
+    out.append(b"%%EOF")
+    text = pdf_to_text(b"\n".join(out))
+    assert text == ":::PAGE-1:::\n\né�é"
