@@ -252,6 +252,40 @@ def verify_pairs(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
 # canonicalization
 # --------------------------------------------------------------------------
 
+def _fold_member_select(members: DataFrame, cap: int) -> DataFrame:
+    """Bottom-``cap`` members per canonical_id by entity_id — skew-proof.
+
+    A single ``row_number() OVER (PARTITION BY canonical_id ORDER BY
+    entity_id)`` funnels a head entity's FULL member set through one task's
+    sort before discarding all but ``cap`` rows (VERDICT r3 #1). Instead:
+
+    1. salt each row into ``SALT_BUCKETS`` buckets and take the per-(group,
+       salt) bottom-``cap`` — the hot group's sort spreads over 64 tasks;
+    2. take the global bottom-``cap`` over the survivors — every group now
+       has ≤ 64·cap rows, so the second window's per-group sort is bounded.
+
+    Output is provably identical to the unsalted window: if a row is in the
+    global bottom-``cap`` of its group, fewer than ``cap`` rows of that
+    group precede it overall, hence fewer than ``cap`` within its salt
+    bucket — it always survives phase 1. Salt values therefore never affect
+    the result (only task placement), so ``rand`` nondeterminism is safe.
+    """
+    from pyspark.sql.window import Window
+
+    w_salted = Window.partitionBy("canonical_id", "_salt").orderBy("entity_id")
+    w_global = Window.partitionBy("canonical_id").orderBy("entity_id")
+    return (
+        members.withColumn(
+            "_salt", (F.rand(seed=11) * SALT_BUCKETS).cast("int")
+        )
+        .withColumn("_rn", F.row_number().over(w_salted))
+        .where(F.col("_rn") <= cap)
+        .withColumn("_rn2", F.row_number().over(w_global))
+        .where(F.col("_rn2") <= cap)
+        .drop("_salt", "_rn", "_rn2")
+    )
+
+
 def entity_id_map(nodes_doc: DataFrame, mode: str = "parity") -> DataFrame:
     """(entity_id → canonical_id); canonical = min entity_id per component
     (≡ first_value(id ORDER BY active DESC, id ASC), process-file.ts:650-656).
@@ -315,7 +349,6 @@ def canonicalize(
     output. Groups ≤600 members are exact.
     """
     from pyspark.sql.types import StringType
-    from pyspark.sql.window import Window
 
     from ..functions.descriptions import fold_description
 
@@ -326,11 +359,11 @@ def canonicalize(
     FOLD_MEMBER_CAP = 600  # two fold chunks; compressor saturates after that
 
     nd = nodes_doc.join(id_map, "entity_id")
-    w = Window.partitionBy("canonical_id").orderBy("entity_id")
     folded = (
-        nd.select("canonical_id", "entity_id", "description")
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= FOLD_MEMBER_CAP)
+        _fold_member_select(
+            nd.select("canonical_id", "entity_id", "description"),
+            FOLD_MEMBER_CAP,
+        )
         .groupBy("canonical_id")
         .agg(
             F.array_sort(

@@ -193,3 +193,49 @@ def test_mentions_bucket_covers_edge_mentions(spark):
     buckets = [r["bucket"] for r in out.where(F.col("entity_id").isNull()).collect()]
     assert len(set(buckets)) > 4  # spread, not one NULL bucket
     assert all(b is not None for b in buckets)
+
+
+def test_fold_member_select_salted_no_full_group_window(spark):
+    """VERDICT r3 #1: the L14 description-fold member selection must not
+    sort a head entity's full member set in one task. The plan must apply a
+    SALTED window (partition canonical_id+_salt) to the raw input and only
+    then a canonical_id-only window over the ≤64·cap survivors — and the
+    selected rows must equal the unsalted bottom-k exactly."""
+    from kiwi_spark.operators.link import _fold_member_select
+
+    n = 5_000
+    members = spark.range(n).select(
+        # one hot group 'H' (80%) + a long tail
+        F.when(F.col("id") % 5 < 4, F.lit("H"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 97)))
+        .alias("canonical_id"),
+        F.format_string("e%08d", F.col("id")).alias("entity_id"),
+        F.concat(F.lit("desc "), F.col("id")).alias("description"),
+    )
+    cap = 30
+    out = _fold_member_select(members, cap)
+
+    plan = _simple_plan(out)
+    salted_pos = plan.find("_salt")
+    assert salted_pos >= 0, "salted window missing from plan"
+    # the salted windowspec must sit BELOW (deeper than) any canonical-only
+    # window: in the printed plan deeper operators appear later
+    spec_positions = [
+        i for i in range(len(plan)) if plan.startswith("windowspecdefinition(", i)
+    ]
+    assert len(spec_positions) == 2
+    deepest = max(spec_positions)
+    assert "_salt" in plan[deepest : deepest + 120]
+
+    rows = out.collect()
+    got = sorted((r["canonical_id"], r["entity_id"]) for r in rows)
+    expected = []
+    import collections
+
+    groups = collections.defaultdict(list)
+    for i in range(n):
+        cid = "H" if i % 5 < 4 else f"t{i % 97}"
+        groups[cid].append(f"e{i:08d}")
+    for cid, ids in groups.items():
+        expected.extend((cid, e) for e in sorted(ids)[:cap])
+    assert got == sorted(expected)
