@@ -131,6 +131,67 @@ def are_duplicates(left_name: str, left_type: str, right_name: str, right_type: 
     return False
 
 
+def are_duplicates_batch(nu, tu, nv, tv):
+    """Vectorized ``are_duplicates`` over four aligned sequences → a numpy
+    bool array (VERDICT r3 #3: no per-pair Python in verify_pairs).
+
+    Name features (norm/base/compact/acronym/first/last) are derived ONCE
+    per unique name; the pair predicate itself is numpy boolean algebra, so
+    candidate-heavy fuzzy batches cost O(unique names) Python instead of
+    O(pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    names = pd.unique(
+        np.concatenate([np.asarray(nu, dtype=object), np.asarray(nv, dtype=object)])
+    )
+    feats: dict[str, tuple] = {}
+    for n in names:
+        lt = tokenize(n)
+        base = strip_org_suffixes(lt)
+        feats[n] = (
+            " ".join(lt),                      # 0 norm
+            lt[0] if lt else "",               # 1 first token
+            lt[-1] if lt else "",              # 2 last token
+            len(lt),                           # 3 n tokens
+            " ".join(base),                    # 4 base
+            "".join(base),                     # 5 compact
+            build_acronym(lt),                 # 6 acronym
+            is_acronym_token(lt),              # 7 is acronym-shaped
+        )
+
+    def cols(series):
+        rows = [feats[n] for n in series]
+        arr = np.empty((len(rows), 8), dtype=object)
+        if rows:
+            arr[:] = rows
+        return (
+            arr[:, 0], arr[:, 1], arr[:, 2],
+            arr[:, 3].astype(np.int64) if len(rows) else np.zeros(0, np.int64),
+            arr[:, 4], arr[:, 5], arr[:, 6],
+            arr[:, 7].astype(bool) if len(rows) else np.zeros(0, bool),
+        )
+
+    norm_u, first_u, last_u, ntok_u, base_u, comp_u, acr_u, isacr_u = cols(nu)
+    norm_v, first_v, last_v, ntok_v, base_v, comp_v, acr_v, isacr_v = cols(nv)
+    tu = np.asarray(tu, dtype=object)
+    tv = np.asarray(tv, dtype=object)
+
+    nonempty = (norm_u != "") & (norm_v != "")
+    eq_norm = norm_u == norm_v
+    exact_only = np.isin(tu, list(EXACT_ONLY_TYPES))
+    person = tu == "PERSON"
+    person_ok = (
+        (ntok_u >= 2) & (ntok_v >= 2) & (first_u == first_v) & (last_u == last_v)
+    )
+    base_ok = (base_u != "") & (base_v != "") & (base_u == base_v)
+    comp_ok = (comp_u != "") & (comp_v != "") & (comp_u == comp_v)
+    acr_ok = (isacr_u & (acr_v == norm_u)) | (isacr_v & (acr_u == norm_v))
+    fuzzy = base_ok | comp_ok | acr_ok
+    branch = np.where(exact_only, False, np.where(person, person_ok, fuzzy))
+    return (tu == tv) & nonempty & (eq_norm | branch)
+
+
 def blocking_keys(name: str, etype: str) -> list[str]:
     """Lossless blocking keys: two entities satisfy ``are_duplicates`` iff
     they share at least one key AND a vectorized re-verification passes.

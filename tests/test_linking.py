@@ -91,3 +91,36 @@ def test_union_find_matches_reference_order():
     roots = union_find_groups([(0, 1), (2, 3), (1, 3)], 5)
     assert roots[0] == roots[1] == roots[2] == roots[3]
     assert roots[4] == 4
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_batch_predicate_matches_scalar(seed):
+    """VERDICT r3 #3: are_duplicates_batch (numpy, per-unique-name feature
+    derivation) must agree elementwise with the scalar are_duplicates on
+    adversarial name pairs across every type branch."""
+    from kiwi_spark.functions.linking import are_duplicates_batch
+
+    rng = random.Random(seed)
+    pool = [_random_name(rng) for _ in range(10)]
+    pool += ["ALICE MARIE SMITH", "ALICE SMITH", "ALICE", "", "  ",
+             "MÜLLER GMBH", "MULLER", "IBM",
+             "INTERNATIONAL BUSINESS MACHINES", "MARCH 3, 2025"]
+    types = ["ORGANIZATION", "PERSON", "DATE", "FACT", "LOCATION"]
+    nu, tu, nv, tv = [], [], [], []
+    for _ in range(120):
+        nu.append(rng.choice(pool))
+        nv.append(rng.choice(pool))
+        tu.append(rng.choice(types))
+        tv.append(rng.choice(types) if rng.random() < 0.3 else tu[-1])
+    got = list(are_duplicates_batch(nu, tu, nv, tv))
+    expected = [
+        are_duplicates(a, b, c, d) for a, b, c, d in zip(nu, tu, nv, tv)
+    ]
+    assert got == expected
+
+
+def test_batch_predicate_empty_batch():
+    from kiwi_spark.functions.linking import are_duplicates_batch
+
+    assert list(are_duplicates_batch([], [], [], [])) == []
