@@ -35,6 +35,11 @@ def main() -> int:
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--buckets", type=int, default=32)
     parser.add_argument("--shuffle-partitions", type=int, default=None)
+    parser.add_argument(
+        "--search-index", action="store_true",
+        help="also materialize the ranked-search index tables "
+             "(entity/edge trigram postings + IVF cells)",
+    )
     args = parser.parse_args()
 
     if not args.input and not args.synthesize:
@@ -75,6 +80,7 @@ def main() -> int:
         link_mode=args.link_mode,
         n_buckets=args.buckets,
         resume=args.resume,
+        build_search_index=args.search_index,
     )
     wall = time.time() - started
 

@@ -1,0 +1,235 @@
+"""Pre-indexed ranked search (plans/search_index.py) — VERDICT r3 #4.
+
+Parity: with an exhaustive semantic probe (nprobe = all cells), the
+indexed search must return EXACTLY what the full-scan scorer returns —
+same rows, same scores, same order — across keyword lists, cursors,
+prefix/exact boosts and gram-less terms. Plan: the indexed query path
+must contain zero Python stages and probe the posting table with a
+pushed filter instead of scanning every row.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kiwi_spark.operators.materialize import materialize_edges, materialize_nodes
+from kiwi_spark.plans.queries import search_entities, search_relationships
+from kiwi_spark.plans.search_index import (
+    build_entity_search_index,
+    build_relationship_search_index,
+    search_entities_indexed,
+    search_relationships_indexed,
+)
+
+NAMES = [
+    ("APPLE", "ORGANIZATION", "fruit company making phones"),
+    ("APPLE INC", "ORGANIZATION", "consumer electronics maker"),
+    ("APPLIED MATERIALS", "ORGANIZATION", "semiconductor equipment"),
+    ("SNAPPLE", "ORGANIZATION", "beverage brand drinks"),
+    ("INTERNATIONAL BUSINESS MACHINES", "ORGANIZATION", "computers consulting"),
+    ("IBM", "ORGANIZATION", "big blue computers"),
+    ("ALICE SMITH", "PERSON", "engineer at apple"),
+    ("ALICE MARIE SMITH", "PERSON", "senior engineer"),
+    ("BOB JONES", "PERSON", "manager of sales"),
+    ("MARCH 3, 2025", "DATE", "product launch date"),
+    ("!!!", "ORGANIZATION", "punk band with no letters"),
+    ("BERLIN", "LOCATION", "capital of germany"),
+    ("BERLIN PHILHARMONIC", "ORGANIZATION", "orchestra music berlin"),
+    ("ZEBRA TECHNOLOGIES", "ORGANIZATION", "barcode printers"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("searchidx")
+    nodes_raw = spark.createDataFrame(
+        [
+            (f"e{i:03d}", name, typ, desc, (i % 5) + 1)
+            for i, (name, typ, desc) in enumerate(NAMES)
+        ],
+        "entity_id string, name string, type string, description string, n_sources long",
+    )
+    npath = str(base / "nodes")
+    materialize_nodes(nodes_raw, n_buckets=4).write.parquet(npath)
+    nodes = spark.read.parquet(npath)
+
+    rows = nodes_raw.select("entity_id").collect()
+    ids = [r["entity_id"] for r in rows]
+    edges_raw = spark.createDataFrame(
+        [
+            (f"r{i:03d}", ids[i], ids[(i + 3) % len(ids)], "related_to",
+             f"link between {NAMES[i][0]} and {NAMES[(i + 3) % len(ids)][0]}",
+             0.5 + (i % 4) / 10.0, i % 3 + 1)
+            for i in range(len(ids))
+        ],
+        "edge_id string, src_id string, dst_id string, pred string, "
+        "description string, strength double, n_sources long",
+    )
+    epath = str(base / "edges")
+    materialize_edges(edges_raw, n_buckets=4).write.parquet(epath)
+    edges = spark.read.parquet(epath)
+
+    e_posting, e_assigned, e_cents = build_entity_search_index(nodes, n_cells=4)
+    ppath = str(base / "entity_trigrams")
+    e_posting.write.parquet(ppath)
+    e_posting = spark.read.parquet(ppath)
+    apath = str(base / "entity_ivf")
+    e_assigned.write.parquet(apath)
+    e_assigned = spark.read.parquet(apath)
+
+    r_posting, r_assigned, r_cents = build_relationship_search_index(
+        edges, nodes, n_cells=4
+    )
+    return {
+        "nodes": nodes,
+        "edges": edges,
+        "ent": (e_posting, e_assigned, e_cents),
+        "rel": (r_posting, r_assigned, r_cents),
+    }
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+ENTITY_CASES = [
+    {"q": "apple"},
+    {"q": "Apple", "keywords": ["electronics", "IBM"]},
+    {"q": "alice smith", "limit": 5},
+    {"q": "berlin music"},
+    {"q": "!!!"},                          # gram-less term: exact-boost leg
+    {"q": "machines", "keywords": ["!!!", "zebra"]},
+    {"q": "xyzzy unrelated"},              # purely-semantic candidates
+]
+
+
+@pytest.mark.parametrize("case", ENTITY_CASES, ids=[c["q"] for c in ENTITY_CASES])
+def test_entity_search_parity(corpus, case):
+    posting, assigned, cents = corpus["ent"]
+    kwargs = {k: v for k, v in case.items() if k != "q"}
+    expected = _rows(search_entities(corpus["nodes"], case["q"], **kwargs))
+    got = _rows(
+        search_entities_indexed(
+            corpus["nodes"], posting, assigned, cents, case["q"], **kwargs
+        )
+    )
+    assert got == expected
+
+
+def test_entity_search_parity_with_cursor(corpus):
+    posting, assigned, cents = corpus["ent"]
+    first = search_entities(corpus["nodes"], "apple", limit=2).collect()
+    cursor = (first[-1]["score"], first[-1]["entity_id"])
+    expected = _rows(search_entities(corpus["nodes"], "apple", cursor=cursor))
+    got = _rows(
+        search_entities_indexed(
+            corpus["nodes"], posting, assigned, cents, "apple", cursor=cursor
+        )
+    )
+    assert got == expected
+    assert all(r[0] not in {x["entity_id"] for x in first} for r in got)
+
+
+REL_CASES = [
+    {"q": "apple"},
+    {"q": "berlin", "keywords": ["zebra"]},
+    {"q": "link between"},
+    {"q": "!!!"},
+]
+
+
+@pytest.mark.parametrize("case", REL_CASES, ids=[c["q"] for c in REL_CASES])
+def test_relationship_search_parity(corpus, case):
+    posting, assigned, cents = corpus["rel"]
+    kwargs = {k: v for k, v in case.items() if k != "q"}
+    expected = _rows(
+        search_relationships(corpus["edges"], corpus["nodes"], case["q"], **kwargs)
+    )
+    got = _rows(
+        search_relationships_indexed(
+            corpus["edges"], corpus["nodes"], posting, assigned, cents,
+            case["q"], **kwargs,
+        )
+    )
+    assert got == expected
+
+
+def test_indexed_plan_python_free_and_pushed_probe(corpus):
+    """The full-scan path needs a pandas UDF per query; the indexed path
+    must be pure JVM with the gram probe pushed into the parquet scan."""
+    posting, assigned, cents = corpus["ent"]
+    df = search_entities_indexed(
+        corpus["nodes"], posting, assigned, cents, "apple"
+    )
+    jvm = df.sparkSession._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "In(gram" in l]
+    assert pushed, "gram IN (...) probe not pushed to the posting scan"
+
+
+def test_posting_table_shape(corpus):
+    posting, _, _ = corpus["ent"]
+    row = posting.where(
+        (F.col("id") == "e000") & (F.col("gram") == "app")
+    ).collect()
+    assert len(row) == 1
+    assert row[0]["n_grams"] == 6  # '  apple ' (8 chars) → 6 trigrams
+    assert row[0]["field"] == "name"
+
+
+def test_pipeline_search_index_stage_end_to_end(spark, tmp_path):
+    """run_pipeline(build_search_index=True) commits the five index tables
+    and warehouse-loaded indexed search matches the full-scan scorer."""
+    from kiwi_spark.pipeline import run_pipeline
+    from kiwi_spark.plans.search_index import load_centroids
+    from kiwi_spark.sources.catalog import Catalog
+    from kiwi_spark.sources.pages import pages_df
+
+    wh = str(tmp_path / "wh_idx")
+    result = run_pipeline(
+        spark, pages_df(spark, 30, seed=7), wh, build_search_index=True
+    )
+    assert "search_index" in result.stages_run
+    cat = Catalog(wh)
+    for table in ("entity_trigrams", "entity_ivf", "edge_trigrams",
+                  "edge_ivf", "ivf_centroids"):
+        assert cat.exists(table), table
+
+    nodes = cat.read(spark, "nodes")
+    edges = cat.read(spark, "edges")
+    cents = cat.read(spark, "ivf_centroids")
+    some = nodes.select("name").orderBy("entity_id").limit(3).collect()
+    for row in some:
+        q = row["name"].split()[0]
+        expected = _rows(search_entities(nodes, q))
+        got = _rows(
+            search_entities_indexed(
+                nodes,
+                cat.read(spark, "entity_trigrams"),
+                cat.read(spark, "entity_ivf"),
+                load_centroids(cents, "entity"),
+                q,
+            )
+        )
+        assert got == expected, q
+    expected = _rows(search_relationships(edges, nodes, some[0]["name"]))
+    got = _rows(
+        search_relationships_indexed(
+            edges, nodes,
+            cat.read(spark, "edge_trigrams"),
+            cat.read(spark, "edge_ivf"),
+            load_centroids(cents, "edge"),
+            some[0]["name"],
+        )
+    )
+    assert got == expected
+
+    # resume skips the committed index stage
+    again = run_pipeline(
+        spark, pages_df(spark, 30, seed=7), wh, resume=True,
+        build_search_index=True,
+    )
+    assert "search_index" in again.stages_skipped
