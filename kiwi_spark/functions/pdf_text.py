@@ -316,7 +316,223 @@ def _numbers(stack: list[bytes], n: int) -> list[float] | None:
     return None
 
 
-def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
+# --------------------------------------------------------------------------
+# reading-order layout — loader/pdf/layout.ts port over text runs
+# --------------------------------------------------------------------------
+
+class _Region:
+    """A text run as a positioned region (layout.ts createPositionedRegion).
+
+    The renderer has per-glyph advance widths; without font metrics the run
+    width is ESTIMATED as len(text) · size/2 (average half-em advance) —
+    good enough for the column-gap geometry, documented as approximate."""
+
+    __slots__ = ("y", "x", "seq", "text", "size", "left", "right", "top",
+                 "bottom", "width", "height", "center_y")
+
+    def __init__(self, y: float, x: float, seq: int, text: str, size: float):
+        self.y, self.x, self.seq, self.text, self.size = y, x, seq, text, size
+        est = 0.5 * size * len(text)
+        self.left = x
+        self.right = x + est
+        self.top = y + size
+        self.bottom = y
+        self.width = est
+        self.height = size
+        self.center_y = y + size / 2.0
+
+
+def _sort_top_left(regions: list[_Region]) -> list[_Region]:
+    """layout.ts sortRegionsTopLeft — top-to-bottom with 1pt tolerance,
+    left-to-right within a line; emission order (seq) breaks ties. Ordering
+    uses the BASELINE y (identical sizes aside, top ≡ baseline ordering;
+    baseline keeps mixed-size inline runs on one line, which the
+    estimated-height top would split)."""
+    from functools import cmp_to_key
+
+    def cmp(a: _Region, b: _Region) -> float:
+        delta = b.y - a.y
+        if abs(delta) > 1.0:
+            return delta
+        if a.left != b.left:
+            return a.left - b.left
+        return a.seq - b.seq
+
+    return sorted(regions, key=cmp_to_key(cmp))
+
+
+def _median(values: list[float]) -> float:
+    if not values:
+        return 0.0
+    ordered = sorted(values)
+    mid = len(ordered) // 2
+    if len(ordered) % 2:
+        return ordered[mid]
+    return (ordered[mid - 1] + ordered[mid]) / 2.0
+
+
+def _find_horizontal_split(regions: list[_Region]):
+    """layout.ts findHorizontalReadingSplit — a vertical whitespace band
+    (> max(18, 2.5·median height)) splits top content from bottom."""
+    if len(regions) < 3:
+        return None
+    ordered = _sort_top_left(regions)
+    heights = [r.height for r in ordered if r.height > 0]
+    baseline_gap = max(18.0, (_median(heights) or 12.0) * 2.5)
+    running_bottom = ordered[0].bottom
+    best_index, best_gap = -1, 0.0
+    for index in range(1, len(ordered)):
+        gap = running_bottom - ordered[index].top
+        if gap > baseline_gap and gap > best_gap:
+            best_gap, best_index = gap, index
+        running_bottom = min(running_bottom, ordered[index].bottom)
+    if best_index <= 0:
+        return None
+    return ordered[:best_index], ordered[best_index:]
+
+
+def _merge_intervals(intervals: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    merged: list[list[float]] = []
+    for start, end in sorted(intervals):
+        if not merged or start > merged[-1][1] + 12.0:
+            merged.append([start, end])
+        else:
+            merged[-1][1] = max(merged[-1][1], end)
+    return [(s, e) for s, e in merged]
+
+
+def _v_overlap(a: _Region, b: _Region, tolerance: float) -> bool:
+    return min(a.top, b.top) - max(a.bottom, b.bottom) > -tolerance
+
+
+def _find_vertical_split(regions: list[_Region], page_width: float):
+    """layout.ts findVerticalReadingSplit — a persistent x gap between
+    merged horizontal intervals of narrow regions splits left/right
+    columns; regions straddling the gap are 'spanning'."""
+    if len(regions) < 2:
+        return None
+    center_left, center_right = page_width * 0.45, page_width * 0.55
+    narrow = [
+        r for r in regions
+        if r.left < page_width and r.right > 0
+        and r.width <= page_width * 0.55
+        and not (r.left < center_left and r.right > center_right)
+    ]
+    if len(narrow) < 2:
+        return None
+    merged = _merge_intervals([(r.left, r.right) for r in narrow])
+    if len(merged) < 2:
+        return None
+    minimum_gap = max(12.0, page_width * 0.02)
+    best = None
+    for (s1, e1), (s2, _e2) in zip(merged, merged[1:]):
+        gap = s2 - e1
+        if gap >= minimum_gap and (best is None or gap > best[1] - best[0]):
+            best = (e1, s2)
+    if best is None:
+        return None
+    center = (best[0] + best[1]) / 2.0
+    tolerance = max(6.0, (best[1] - best[0]) * 0.15)
+    left = [r for r in regions if r.right <= center + tolerance]
+    right = [r for r in regions if r.left >= center - tolerance]
+    in_split = set(map(id, left)) | set(map(id, right))
+    spanning = [r for r in regions if id(r) not in in_split]
+    if not left or not right:
+        return None
+    if len(spanning) >= len(left) + len(right):
+        return None
+    parallel = any(
+        _v_overlap(lr, rr, max(8.0, min(lr.height, rr.height)))
+        for lr in left for rr in right
+    )
+    if not parallel:
+        return None
+    # run-granularity guard (not in layout.ts, which splits OCR/pdfjs
+    # region boxes with real widths): a genuine column has several stacked
+    # lines — a single positioned run on one baseline (e.g. the right half
+    # of one visual line) must not be promoted to a column
+    if _n_baselines(left) < 2 or _n_baselines(right) < 2:
+        return None
+    return left, right, spanning
+
+
+def _n_baselines(regions: list[_Region]) -> int:
+    count = 0
+    last: float | None = None
+    for y in sorted(r.y for r in regions):
+        if last is None or y - last > 1.0:
+            count += 1
+            last = y
+    return count
+
+
+def _order_regions(regions: list[_Region], page_width: float,
+                   depth: int) -> list[list[_Region]]:
+    """layout.ts orderPositionedRegions → ordered GROUPS: concatenating the
+    groups is the reading order; baseline line-clustering happens within a
+    group only, so same-baseline runs in different columns never merge."""
+    if len(regions) <= 1 or depth >= 8:
+        return [_sort_top_left(regions)] if regions else []
+    split = _find_vertical_split(regions, page_width)
+    if split:
+        return _order_with_vertical_split(split, page_width, depth + 1)
+    hsplit = _find_horizontal_split(regions)
+    if hsplit:
+        return _order_regions(hsplit[0], page_width, depth + 1) + _order_regions(
+            hsplit[1], page_width, depth + 1
+        )
+    return [_sort_top_left(regions)]
+
+
+def _order_with_vertical_split(split, page_width: float,
+                               depth: int) -> list[list[_Region]]:
+    """layout.ts orderRegionsWithVerticalSplit — spanning regions (titles,
+    full-width paragraphs) interleave between the column flows."""
+    left, right, spanning = split
+    if not spanning:
+        return _order_regions(left, page_width, depth) + _order_regions(
+            right, page_width, depth
+        )
+    ordered: list[list[_Region]] = []
+    emitted: set[int] = set()
+    non_spanning = left + right
+    current_top = float("inf")
+
+    def push(groups: list[list[_Region]]) -> None:
+        for group in groups:
+            fresh = [r for r in group if id(r) not in emitted]
+            if fresh:
+                emitted.update(map(id, fresh))
+                ordered.append(fresh)
+
+    for span in _sort_top_left(spanning):
+        def belongs(r: _Region) -> bool:
+            return _v_overlap(r, span, max(1.0, min(r.height, span.height) * 1.25))
+
+        above = [
+            r for r in non_spanning
+            if id(r) not in emitted and r.center_y < current_top
+            and r.center_y > span.top and not belongs(r)
+        ]
+        if above:
+            push(_order_regions(above, page_width, depth))
+        overlapping = [
+            r for r in non_spanning
+            if id(r) not in emitted and r.center_y < current_top and belongs(r)
+        ]
+        push([_sort_top_left(overlapping + [span])])
+        current_top = span.bottom
+    below = [
+        r for r in non_spanning
+        if id(r) not in emitted and r.center_y < current_top
+    ]
+    if below:
+        push(_order_regions(below, page_width, depth))
+    return ordered
+
+
+def extract_content_text(content: bytes, fonts: dict | None = None,
+                         page_width: float = 612.0) -> str:
     """Walk a content stream's text operators into positioned runs, then
     assemble lines the way the reference does (loader/pdf/layout.ts
     sortRegionsTopLeft): runs sort top-to-bottom with a 1pt y tolerance,
@@ -333,9 +549,10 @@ def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
     verbatim — inter-run space inference (text.ts
     shouldInsertSpaceBetweenChars) needs per-glyph advance widths from
     font metrics, which belong to the unported rasterizer half."""
-    runs: list[tuple[float, float, int, str]] = []  # (y, x, seq, text)
+    runs: list[_Region] = []
     stack: list[bytes] = []  # recent operands
     current_font: str | None = None
+    tf_size = 12.0
     lm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)  # text line matrix [a b c d e f]
     leading = 0.0
     seq = 0
@@ -363,7 +580,8 @@ def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
     def emit(text: str | None) -> None:
         nonlocal seq
         if text:
-            runs.append((lm[5], lm[4], seq, text))
+            size = max(abs(lm[3]) * tf_size, 1.0)
+            runs.append(_Region(lm[5], lm[4], seq, text, size))
             seq += 1
 
     for match in _TOKEN_RE.finditer(content):
@@ -384,6 +602,9 @@ def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
                 if operand[:1] == b"/":
                     current_font = operand[1:].decode("latin-1")
                     break
+            values = _numbers(stack, 1)
+            if values and values[0] > 0:
+                tf_size = values[0]
         elif op == b"Tm":
             values = _numbers(stack, 6)
             if values:
@@ -418,24 +639,53 @@ def extract_content_text(content: bytes, fonts: dict | None = None) -> str:
             emit("".join(p for p in pieces if p is not None))
         stack = []
 
-    # line assembly: cluster run baselines within 1pt (layout.ts:57-66),
-    # top line first (PDF y axis points up), left-to-right within a line
-    runs.sort(key=lambda r: (-r[0], r[1], r[2]))
+    # reading-order layout (layout.ts orderPositionedRegions): column /
+    # band splits first, then per-group baseline clustering within 1pt —
+    # same-baseline runs in DIFFERENT columns stay in their column's flow
+    # instead of interleaving into one line (VERDICT r3 #6)
     lines: list[str] = []
-    current: list[str] = []
-    line_y: float | None = None
-    for y, _x, _seq, text in runs:
-        if line_y is None or abs(y - line_y) > 1.0:
-            joined = "".join(current)
-            if joined.strip():
-                lines.append(joined)
-            current = []
-            line_y = y
-        current.append(text)
-    joined = "".join(current)
-    if joined.strip():
-        lines.append(joined)
+    for group in _order_regions(runs, page_width, 0):
+        current: list[str] = []
+        line_y: float | None = None
+        for region in group:
+            if line_y is None or abs(region.y - line_y) > 1.0:
+                joined = "".join(current)
+                if joined.strip():
+                    lines.append(joined)
+                current = []
+                line_y = region.y
+            current.append(region.text)
+        joined = "".join(current)
+        if joined.strip():
+            lines.append(joined)
     return "\n".join(lines)
+
+
+def _page_width(page_body: bytes,
+                objects: dict[int, tuple[bytes, bytes | None]]) -> float:
+    """/MediaBox width, inherited via /Parent like /Resources; US-Letter
+    612pt when absent (the column-split geometry only needs the scale)."""
+    body = page_body
+    seen: set[int] = set()
+    while True:
+        box = re.search(
+            rb"/MediaBox\s*\[\s*([-\d.]+)\s+[-\d.]+\s+([-\d.]+)", body
+        )
+        if box:
+            try:
+                width = abs(float(box.group(2)) - float(box.group(1)))
+                if width > 0:
+                    return width
+            except ValueError:
+                pass
+        parent = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", body)
+        if not parent:
+            return 612.0
+        pnum = int(parent.group(1))
+        if pnum in seen or pnum not in objects:
+            return 612.0
+        seen.add(pnum)
+        body = objects[pnum][0]
 
 
 def pdf_to_text(data: bytes) -> str:
@@ -452,7 +702,8 @@ def pdf_to_text(data: bytes) -> str:
         if not content:
             continue
         fonts = _page_fonts(objects[num][0], objects)
-        text = extract_content_text(content, fonts).strip()
+        width = _page_width(objects[num][0], objects)
+        text = extract_content_text(content, fonts, page_width=width).strip()
         if text:
             parts.append(f":::PAGE-{index + 1}:::\n\n{text}")
     return "\n\n".join(parts)

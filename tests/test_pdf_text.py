@@ -208,3 +208,73 @@ def test_pdf_cmap_unmapped_code_becomes_replacement_char():
     out.append(b"%%EOF")
     text = pdf_to_text(b"\n".join(out))
     assert text == ":::PAGE-1:::\n\né�é"
+
+
+def _simple_pdf(content: bytes, mediabox: bytes = b"[0 0 612 792]") -> bytes:
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox " + mediabox
+            + b" >>", None),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>", None),
+        (5, b"<< /Length %d >>" % len(content), content),
+    ]
+    out = [b"%PDF-1.5"]
+    for num, body, stream in objs:
+        piece = b"%d 0 obj\n" % num + body
+        if stream is not None:
+            piece += b"\nstream\n" + stream + b"\nendstream"
+        piece += b"\nendobj"
+        out.append(piece)
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def test_pdf_two_column_reading_order():
+    """VERDICT r3 #6 — side-by-side columns must extract column-by-column
+    in reading order (loader/pdf/layout.ts findVerticalReadingSplit), not
+    interleave same-baseline runs into single lines."""
+    runs = []
+    for i, text in enumerate(["Left one.", "Left two.", "Left three."]):
+        runs.append(b"1 0 0 1 72 %d Tm (%s) Tj" % (700 - 16 * i, text.encode()))
+    for i, text in enumerate(["Right one.", "Right two.", "Right three."]):
+        runs.append(b"1 0 0 1 330 %d Tm (%s) Tj" % (700 - 16 * i, text.encode()))
+    content = b"BT /F1 12 Tf " + b" ".join(runs) + b" ET"
+    text = pdf_to_text(_simple_pdf(content))
+    lines = text.split("\n")[2:]
+    assert lines == [
+        "Left one.", "Left two.", "Left three.",
+        "Right one.", "Right two.", "Right three.",
+    ]
+
+
+def test_pdf_two_column_with_spanning_title():
+    """A full-width title above the columns is emitted first (layout.ts
+    orderRegionsWithVerticalSplit spanning handling)."""
+    title = b"1 0 0 1 120 740 Tm (A Long Spanning Title Across Both Columns) Tj"
+    runs = [title]
+    for i, text in enumerate(["L1 body text", "L2 body text"]):
+        runs.append(b"1 0 0 1 72 %d Tm (%s) Tj" % (700 - 16 * i, text.encode()))
+    for i, text in enumerate(["R1 body text", "R2 body text"]):
+        runs.append(b"1 0 0 1 330 %d Tm (%s) Tj" % (700 - 16 * i, text.encode()))
+    content = b"BT /F1 12 Tf " + b" ".join(runs) + b" ET"
+    text = pdf_to_text(_simple_pdf(content))
+    lines = text.split("\n")[2:]
+    assert lines == [
+        "A Long Spanning Title Across Both Columns",
+        "L1 body text", "L2 body text",
+        "R1 body text", "R2 body text",
+    ]
+
+
+def test_pdf_single_column_not_split():
+    """Ordinary single-column pages keep the round-3 behavior: top-down,
+    same-baseline runs joined left-to-right."""
+    content = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 300 700 Tm (world) Tj "
+        b"1 0 0 1 72 650 Tm (Second line.) Tj "
+        b"1 0 0 1 72 700.4 Tm (Hello ) Tj "
+        b"ET"
+    )
+    text = pdf_to_text(_simple_pdf(content))
+    assert text == ":::PAGE-1:::\n\nHello world\nSecond line."
