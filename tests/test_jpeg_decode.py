@@ -454,3 +454,15 @@ def test_jpeg_single_component_frame_with_sampling_factors():
             assert np.allclose(
                 luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], dc / 8 + 128.0
             ), (by, bx)
+
+
+def test_jpeg_arithmetic_coding_routes_to_none():
+    """VERDICT r3 #8: arithmetic-coded JPEGs (SOF9/SOF10) are documented-
+    unsupported — decode_jpeg must return None, not garble the scan."""
+    w = _BitWriter()
+    _dc_bits(w, 16)
+    w.write(*AC_CODE[0x00])
+    good = make_jpeg(8, 8, [{"id": 1, "h": 1, "v": 1}], w.tobytes())
+    assert decode_jpeg(good) is not None
+    for marker in (b"\xff\xc9", b"\xff\xca", b"\xff\xcb"):
+        assert decode_jpeg(good.replace(b"\xff\xc0", marker)) is None, marker

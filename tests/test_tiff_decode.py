@@ -29,29 +29,36 @@ def _entry(bo, tag, vtype, values, data_area, data_offset):
 
 def make_tiff(width, height, strips, *, bo="little", samples=1,
               photometric=1, compression=1, predictor=None, colormap=None,
-              rows_per_strip=None):
+              rows_per_strip=None, bits=8, tiled=False):
     """strips: list of raw strip bytes (already compressed per
-    `compression`). Layout: header(8) + IFD + out-of-line values + strips."""
+    `compression`). Layout: header(8) + IFD + out-of-line values + strips.
+    ``tiled=True`` stores the data under Tile* tags (322/323/324/325)
+    instead of strip tags — the decoder's documented-unsupported layout."""
     header = (b"II*\x00" if bo == "little" else b"MM\x00*")
     header += (8).to_bytes(4, bo)  # first IFD at offset 8
     tags = [
-        (256, 3, [width]), (257, 3, [height]), (258, 3, [8] * samples),
+        (256, 3, [width]), (257, 3, [height]), (258, 3, [bits] * samples),
         (259, 3, [compression]), (262, 3, [photometric]),
         (277, 3, [samples]),
-        (278, 3, [rows_per_strip or height]),
     ]
+    if tiled:
+        tags += [(322, 3, [width]), (323, 3, [height])]
+    else:
+        tags.append((278, 3, [rows_per_strip or height]))
     if predictor:
         tags.append((317, 3, [predictor]))
     if colormap is not None:
         tags.append((320, 3, colormap))
     n = len(tags) + 2  # + strip offsets/counts
     extra_offset = 8 + 2 + 12 * n + 4
+    off_tag, cnt_tag = (324, 325) if tiled else (273, 279)
 
     def build(strip_offsets):
         extra = b""
         items = []
         for tag, vtype, values in sorted(
-            tags + [(273, 4, strip_offsets), (279, 4, [len(s) for s in strips])]
+            tags
+            + [(off_tag, 4, strip_offsets), (cnt_tag, 4, [len(s) for s in strips])]
         ):
             e, extra = _entry(bo, tag, vtype, values, extra, extra_offset)
             items.append(e)
@@ -192,3 +199,23 @@ def test_format_detect_and_spark_operator_tiff(spark):
     out = decode_image_features(assets).collect()
     assert len(out) == 1 and out[0]["width"] == 4 and out[0]["height"] == 1
     assert abs(out[0]["mean_luma"] - (0 + 100 + 200 + 255) / 4 / 255.0) < 1e-9
+
+
+def test_tiff_16bit_samples_route_to_none():
+    """VERDICT r3 #8: 16-bit-per-sample TIFFs are documented-unsupported —
+    the decoder must return None (error-row routing), never misdecode the
+    bytes as 8-bit."""
+    rows = bytes(16)  # 4×2 gray at 16 bits/sample
+    payload = make_tiff(4, 2, [rows], bits=16)
+    assert decode_tiff(payload) is None
+
+
+def test_tiff_tiled_layout_routes_to_none():
+    """Tiled TIFFs (Tile* tags instead of strip tags) are documented-
+    unsupported — None, not a crash or a garbled strip interpretation."""
+    rows = bytes([0, 64, 128, 255, 10, 20, 30, 40])
+    payload = make_tiff(4, 2, [rows], tiled=True)
+    assert decode_tiff(payload) is None
+    # the identical image as strips decodes fine (guard is tile-specific)
+    w, h, _ = decode_tiff(make_tiff(4, 2, [rows]))
+    assert (w, h) == (4, 2)
