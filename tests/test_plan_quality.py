@@ -195,12 +195,14 @@ def test_mentions_bucket_covers_edge_mentions(spark):
     assert all(b is not None for b in buckets)
 
 
-def test_fold_member_select_salted_no_full_group_window(spark):
+def test_fold_member_select_group_limited_no_full_group_window(spark):
     """VERDICT r3 #1: the L14 description-fold member selection must not
-    sort a head entity's full member set in one task. The plan must apply a
-    SALTED window (partition canonical_id+_salt) to the raw input and only
-    then a canonical_id-only window over the ≤64·cap survivors — and the
-    selected rows must equal the unsalted bottom-k exactly."""
+    sort a head entity's full member set in one task. On Spark ≥3.5
+    Catalyst's InferWindowGroupLimit gives the row_number()≤k window a
+    map-side Partial WindowGroupLimit BEFORE the exchange (each task keeps
+    bottom-k per group, so ≤ k·n_map_partitions hot rows reach the
+    reducer) and a Final one after — pin that plan shape so the funnel
+    can't silently return, and pin the selected rows exactly."""
     from kiwi_spark.operators.link import _fold_member_select
 
     n = 5_000
@@ -215,17 +217,14 @@ def test_fold_member_select_salted_no_full_group_window(spark):
     cap = 30
     out = _fold_member_select(members, cap)
 
-    plan = _simple_plan(out)
-    salted_pos = plan.find("_salt")
-    assert salted_pos >= 0, "salted window missing from plan"
-    # the salted windowspec must sit BELOW (deeper than) any canonical-only
-    # window: in the printed plan deeper operators appear later
-    spec_positions = [
-        i for i in range(len(plan)) if plan.startswith("windowspecdefinition(", i)
-    ]
-    assert len(spec_positions) == 2
-    deepest = max(spec_positions)
-    assert "_salt" in plan[deepest : deepest + 120]
+    exec_plan = out._jdf.queryExecution().executedPlan().toString()
+    partial = exec_plan.find("Partial")
+    assert "WindowGroupLimit" in exec_plan, exec_plan
+    assert partial >= 0, exec_plan
+    # the Partial group-limit must sit BELOW the exchange (map side):
+    # deeper operators print later in the tree string
+    exchange = exec_plan.find("Exchange hashpartitioning(canonical_id")
+    assert 0 <= exchange < partial, exec_plan
 
     rows = out.collect()
     got = sorted((r["canonical_id"], r["entity_id"]) for r in rows)
