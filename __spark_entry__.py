@@ -301,6 +301,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_fingerprints(spark, sf):
         return textstats.doc_fingerprints(_t(spark, sf, "documents")).orderBy("doc_id")
 
+    def search_docs_trigram(spark, sf):
+        # pre-indexed ranked keyword search (plans.search_index): trigram
+        # posting table built once (pg_trgm GIN analog), query probes it
+        # with a pushed gram IN (...) filter and computes EXACT pg_trgm
+        # similarity from the hit counts, all JVM-side. The DuckDB twin
+        # recomputes the same trigrams + Jaccard-style sim from scratch.
+        from kiwi_spark.plans.search_index import (
+            _kw_from_posting,
+            build_trigram_index,
+        )
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        posting = build_trigram_index(docs, "doc_id", {"text": "text"})
+        kw = _kw_from_posting(posting, _SEARCH_TERMS)
+        return kw.select(
+            F.col("id").alias("doc_id"), F.round("kw", 6).alias("kw")
+        ).orderBy("doc_id")
+
     def similarity_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
         q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
@@ -344,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_docs": text_quality_docs,
         "token_counts_docs": token_counts_docs,
         "doc_fingerprints": doc_fingerprints,
+        "search_docs_trigram": search_docs_trigram,
         "similarity_topk": similarity_topk,
         "similarity_ivf": similarity_ivf,
         "kg_build_graph": kg_build_graph,
@@ -369,9 +388,13 @@ _SHINGLES = (
 )
 
 
+_SEARCH_TERMS = ["spark table", "columm"]  # typo term exercises fuzzy sim
+
+
 def oracle_sql() -> dict[str, str]:
     from kiwi_spark.operators.dedup import lsh_plane_signs, minhash_params
     from kiwi_spark.operators.textstats import LANG_MARKERS, STOPWORDS_EN
+    from kiwi_spark.plans.queries import _trigrams
 
     def arr(words):
         return "[" + ", ".join(f"'{w}'" for w in words) + "]"
@@ -420,6 +443,19 @@ def oracle_sql() -> dict[str, str]:
         pick = f"CASE WHEN s_{code} > {best} THEN '{code}' ELSE {pick} END"
         best = f"CASE WHEN s_{code} > {best} THEN s_{code} ELSE {best} END"
     lang_pick += pick + " END"
+
+    def gram_lit(term):
+        return "[" + ",".join(f"'{g}'" for g in sorted(_trigrams(term))) + "]"
+
+    trigram_sims = ", ".join(
+        f"len(list_intersect(g, {gram_lit(t)}))::DOUBLE"
+        f" / (len(g) + {len(_trigrams(t))} - len(list_intersect(g, {gram_lit(t)})))"
+        f" AS s{i}"
+        for i, t in enumerate(_SEARCH_TERMS)
+    )
+    trigram_kw = (
+        "greatest(" + ", ".join(f"s{i}" for i in range(len(_SEARCH_TERMS))) + ")"
+    )
 
     return {
         "q1_pricing_summary": """
@@ -656,6 +692,22 @@ def oracle_sql() -> dict[str, str]:
                                        for i in range(1, len(t)-6)], 'min')
                    ELSE md5(norm) END AS min_kgram_fingerprint
             FROM toks ORDER BY doc_id
+        """,
+        "search_docs_trigram": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS_UNI} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(flatten(
+                           [[substring('  ' || w || ' ', i, 3)
+                             for i in range(1, length(w) + 2)] for w in t]
+                       )) AS g
+                FROM toks
+            ), scored AS (
+                SELECT doc_id, {trigram_sims} FROM grams
+            )
+            SELECT doc_id, round({trigram_kw}, 6) AS kw
+            FROM scored WHERE {trigram_kw} > 0 ORDER BY doc_id
         """,
         "similarity_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
