@@ -35,6 +35,11 @@ def main() -> int:
     parser.add_argument("--path", nargs=2, metavar=("SRC", "DST"))
     parser.add_argument("--sources-of")
     parser.add_argument("--limit", type=int, default=10)
+    parser.add_argument(
+        "--indexed", action="store_true",
+        help="serve --search from the materialized search-index tables "
+             "(pipeline --search-index) instead of the full-scan scorer",
+    )
     args = parser.parse_args()
 
     spark = SparkSession.builder.appName("kiwi-query").getOrCreate()
@@ -52,9 +57,30 @@ def main() -> int:
         return rows[0]["entity_id"]
 
     if args.search:
-        Q.search_entities(
-            nodes, args.search, limit=args.limit, keywords=args.keywords
-        ).show(truncate=60)
+        if args.indexed:
+            from kiwi_spark.plans.search_index import (
+                load_centroids,
+                search_entities_indexed,
+            )
+
+            if not cat.exists("entity_trigrams"):
+                raise SystemExit(
+                    "--indexed needs the search-index tables; rerun the "
+                    "pipeline with --search-index"
+                )
+            search_entities_indexed(
+                nodes,
+                cat.read(spark, "entity_trigrams"),
+                cat.read(spark, "entity_ivf"),
+                load_centroids(cat.read(spark, "ivf_centroids"), "entity"),
+                args.search,
+                limit=args.limit,
+                keywords=args.keywords,
+            ).show(truncate=60)
+        else:
+            Q.search_entities(
+                nodes, args.search, limit=args.limit, keywords=args.keywords
+            ).show(truncate=60)
     if args.neighbours:
         eid = resolve(args.neighbours)
         Q.get_entity_neighbours(edges, nodes, eid, limit=args.limit).show(truncate=60)

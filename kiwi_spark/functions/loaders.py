@@ -518,11 +518,18 @@ def payload_to_text(data: bytes, mime: str | None = None,
         )
     if file_type == "msg":
         return email_to_markdown(data, "msg"), file_type
-    if file_type in ("doc", "ppt", "xls", "cfb"):
-        # legacy OLE binary formats — detected (so they never misparse as
-        # mojibake text) but not yet ported; extract_text marks the row
-        # UNSUPPORTED_FORMAT (reference parses these via loader/doc/,
-        # loader/ppt/ — out of current scope)
+    if file_type in ("doc", "ppt", "xls"):
+        # legacy OLE binaries — scoped from-spec extraction (legacy_office:
+        # .doc piece table, BIFF8 SST/cells, PPT text atoms). Parity-or-
+        # better: the reference routes .doc to its OOXML-only DOCXLoader
+        # (factory.ts:56,238-244) which throws on CFB. Unparseable files
+        # yield '' → UNSUPPORTED_FORMAT error rows, as before.
+        from .legacy_office import legacy_office_to_text
+
+        return legacy_office_to_text(data, file_type), file_type
+    if file_type == "cfb":
+        # unrecognized OLE container (detected so it never misparses as
+        # mojibake text) → UNSUPPORTED_FORMAT
         return "", file_type
 
     text = data.decode("utf-8", errors="replace")

@@ -1,0 +1,199 @@
+"""Legacy binary Office extraction (functions/legacy_office.py): .doc
+piece table, .xls BIFF8 SST/cells, .ppt text atoms — byte-built CFB
+fixtures via tests/test_loaders.make_cfb, hand-computed expectations
+from the public [MS-DOC]/[MS-XLS]/[MS-PPT] layouts.
+
+Parity-or-better: the reference routes these to its OOXML-only loader
+which throws on CFB containers (factory.ts:56,238-244)."""
+
+from __future__ import annotations
+
+import struct
+
+from kiwi_spark.functions.format_detect import detect_format
+from kiwi_spark.functions.loaders import payload_to_text
+
+from tests.test_loaders import make_cfb
+
+
+# --------------------------------------------------------------------------
+# .doc
+# --------------------------------------------------------------------------
+
+def make_doc(pieces: list[tuple[str, bool]], with_prc: bool = False) -> bytes:
+    """pieces: [(text, compressed)] → CFB with WordDocument + 0Table."""
+    word = bytearray(2048)
+    struct.pack_into("<H", word, 0, 0xA5EC)
+    struct.pack_into("<H", word, 10, 0x0000)        # 0Table
+    struct.pack_into("<H", word, 32, 14)            # csw
+    rglw = 34 + 28 + 2
+    struct.pack_into("<H", word, 62, 22)            # cslw
+    total_chars = sum(len(t) for t, _ in pieces)
+    struct.pack_into("<I", word, rglw + 12, total_chars)  # ccpText
+    struct.pack_into("<H", word, 152, 93)           # cbRgFcLcb
+    blob = 154
+    struct.pack_into("<I", word, blob + 33 * 8, 0)  # fcClx → 0Table offset 0
+    # lcbClx patched below
+
+    # lay the piece text into WordDocument from byte offset 1200
+    cursor = 1200
+    pcds: list[int] = []
+    cps = [0]
+    for text, compressed in pieces:
+        cps.append(cps[-1] + len(text))
+        if compressed:
+            raw = text.encode("cp1252")
+            pcds.append((cursor * 2) | 0x40000000)
+        else:
+            raw = text.encode("utf-16-le")
+            pcds.append(cursor)
+        word[cursor : cursor + len(raw)] = raw
+        cursor += len(raw)
+
+    n = len(pieces)
+    plcpcd = b"".join(struct.pack("<I", cp) for cp in cps)
+    for fc in pcds:
+        plcpcd += struct.pack("<HIH", 0, fc, 0)
+    clx = b""
+    if with_prc:
+        clx += bytes([0x01]) + struct.pack("<H", 3) + b"\x00\x01\x02"
+    clx += bytes([0x02]) + struct.pack("<I", len(plcpcd)) + plcpcd
+    struct.pack_into("<I", word, blob + 33 * 8 + 4, len(clx))
+    return make_cfb({"WordDocument": bytes(word), "0Table": clx})
+
+
+def test_doc_compressed_and_unicode_pieces():
+    payload = make_doc(
+        [("Hello legacy Word.\r", True), ("Ünïcode pièce…\r", False)],
+        with_prc=True,  # Prc block before the Pcdt must be skipped
+    )
+    assert detect_format(content=payload) == "doc"
+    text, ft = payload_to_text(payload)
+    assert ft == "doc"
+    assert text == "Hello legacy Word.\nÜnïcode pièce…"
+
+
+def test_doc_control_chars_and_fields():
+    # cell marks → tabs, field chars (0x13/0x14/0x15) dropped, soft hyphen
+    # removed, non-breaking hyphen → '-'
+    raw = "A\x07B\x07\r\x13FIELDCODE\x14result\x15\rco\x1foperate non\x1ebreaking\r"
+    payload = make_doc([(raw, True)])
+    text, _ = payload_to_text(payload)
+    assert text.splitlines()[0] == "A\tB\t"
+    assert "FIELDCODEresult" in text            # chars dropped, text kept
+    assert "cooperate" in text and "non-breaking" in text
+
+
+def test_doc_ccptext_truncates_non_main_text():
+    # ccpText shorter than the piece total: footnote/header text beyond the
+    # main range must not leak
+    payload = bytearray(make_doc([("main text\rfootnote junk", True)]))
+    # rebuild with a smaller ccpText by patching the WordDocument stream
+    # inside the CFB is fiddly — easier: build again with explicit pieces
+    doc = make_doc([("main text\r", True), ("footnote junk", True)])
+    # patch ccpText (= 10) into the copy: regenerate via make_doc internals
+    from kiwi_spark.functions.loaders import cfb_streams
+    from kiwi_spark.functions.legacy_office import doc_to_text
+
+    streams = dict(cfb_streams(doc))
+    word = bytearray(streams["WordDocument"])
+    struct.pack_into("<I", word, 64 + 12, 10)   # rglw = 64
+    streams["WordDocument"] = bytes(word)
+    assert doc_to_text(streams) == "main text"
+
+
+def test_doc_garbage_is_empty_not_crash():
+    from kiwi_spark.functions.legacy_office import doc_to_text
+
+    assert doc_to_text({"WordDocument": b"\x00" * 2000}) == ""
+    assert doc_to_text({}) == ""
+
+
+# --------------------------------------------------------------------------
+# .xls
+# --------------------------------------------------------------------------
+
+def _rec(rtype: int, payload: bytes) -> bytes:
+    return struct.pack("<HH", rtype, len(payload)) + payload
+
+
+def make_xls() -> bytes:
+    def sst_string(text: str, rich_runs: int = 0) -> bytes:
+        high = 0 if text.isascii() else 1
+        flags = (0x01 if high else 0) | (0x08 if rich_runs else 0)
+        out = struct.pack("<HB", len(text), flags)
+        if rich_runs:
+            out += struct.pack("<H", rich_runs)
+        out += text.encode("utf-16-le" if high else "cp1252")
+        out += b"\x00" * (4 * rich_runs)
+        return out
+
+    sst = struct.pack("<II", 4, 4) + b"".join(
+        [sst_string("Name"), sst_string("Ünïcode"), sst_string("Rich", 1),
+         sst_string("x")]
+    )
+    boundsheet = struct.pack("<IBB", 0, 0, 0) + bytes([4, 0]) + b"Data"
+
+    def labelsst(row, col, isst):
+        return _rec(0x00FD, struct.pack("<HHHI", row, col, 0, isst))
+
+    number = _rec(0x0203, struct.pack("<HHH", 1, 1, 0) + struct.pack("<d", 2.5))
+    rk_int = _rec(0x027E, struct.pack("<HHHI", 2, 0, 0, (7 << 2) | 0x02))
+    rk_div = _rec(0x027E, struct.pack("<HHHI", 2, 1, 0, (125 << 2) | 0x03))
+    book = (
+        _rec(0x0809, bytes(16))                      # BOF globals
+        + _rec(0x0085, boundsheet)
+        + _rec(0x00FC, sst)
+        + _rec(0x000A, b"")                          # EOF
+        + _rec(0x0809, bytes(16))                    # BOF sheet
+        + labelsst(0, 0, 0) + labelsst(0, 1, 1) + labelsst(1, 0, 2)
+        + number + rk_int + rk_div
+        + _rec(0x000A, b"")
+    )
+    return make_cfb({"Workbook": book})
+
+
+def test_xls_sst_cells_numbers_rk():
+    payload = make_xls()
+    assert detect_format(content=payload) == "xls"
+    text, ft = payload_to_text(payload)
+    assert ft == "xls"
+    assert text.splitlines() == [
+        "# Data",
+        "Name\tÜnïcode",
+        "Rich\t2.5",
+        "7\t1.25",
+    ]
+
+
+# --------------------------------------------------------------------------
+# .ppt
+# --------------------------------------------------------------------------
+
+def _ppt_rec(rtype: int, payload: bytes, container: bool = False) -> bytes:
+    ver = 0x000F if container else 0x0000
+    return struct.pack("<HHI", ver, rtype, len(payload)) + payload
+
+
+def make_ppt() -> bytes:
+    title = _ppt_rec(0x0FA0, "Slide Title".encode("utf-16-le"))
+    body = _ppt_rec(0x0FA8, b"Body text\rsecond line")
+    slide = _ppt_rec(0x03EE, title + body, container=True)
+    note = _ppt_rec(0x0FBA, "A note".encode("utf-16-le"))
+    doc = _ppt_rec(0x03E8, slide + note, container=True)
+    return make_cfb({"PowerPoint Document": doc})
+
+
+def test_ppt_text_atoms_in_document_order():
+    payload = make_ppt()
+    assert detect_format(content=payload) == "ppt"
+    text, ft = payload_to_text(payload)
+    assert ft == "ppt"
+    assert text == "Slide Title\n\nBody text\nsecond line\n\nA note"
+
+
+def test_unknown_cfb_still_unsupported():
+    payload = make_cfb({"MysteryStream": b"\x01\x02\x03"})
+    assert detect_format(content=payload) == "cfb"
+    text, ft = payload_to_text(payload)
+    assert ft == "cfb" and text == ""
