@@ -360,6 +360,7 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
         from ..functions.gif_decode import decode_gif
         from ..functions.jpeg_decode import decode_jpeg
         from ..functions.tiff_decode import decode_tiff
+        from ..functions.webp_decode import decode_webp
 
         for batch in batches:
             rows = []
@@ -373,6 +374,7 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                     or decode_jpeg(payload)
                     or decode_gif(payload)
                     or decode_tiff(payload)
+                    or decode_webp(payload)
                 )
                 if decoded is not None:
                     width, height, luma = decoded
@@ -380,9 +382,11 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                     phash = ahash64(luma)
                 elif not fake:
                     raise NotImplementedError(
-                        "non-BMP/PNG/GIF/TIFF/JPEG image decoding requires "
-                        "PIL — not available in this environment; pass "
-                        "fake=True for plumbing tests"
+                        "image decoding beyond BMP/PNG/GIF/TIFF/JPEG/"
+                        "lossless-WebP requires PIL (lossy WebP is a full "
+                        "VP8 intra-frame — arithmetic coding + loop "
+                        "filters) — not available in this environment; "
+                        "pass fake=True for plumbing tests"
                     )
                 else:
                     # --- STUB: deterministic fake decode -------------------
