@@ -303,3 +303,149 @@ def test_spark_image_operator_decodes_webp(spark):
     assert rows[0]["width"] == 2 and rows[0]["height"] == 1
     expected = (_luma(255, 30, 10, 40) + _luma(255, 30, 20, 40)) / 2 / 255.0
     assert abs(rows[0]["mean_luma"] - expected) < 1e-9
+
+
+def test_vp8l_all_predictor_modes_against_independent_reimpl():
+    """56×3 image, predictor blocks of 4px: block k uses mode k (0..13).
+    Row 0 takes varied literal values (spec override: pred = Left), rows
+    1-2 carry zero residuals so every pixel must equal the predictor
+    output exactly — compared against a predictor reimplementation
+    written independently in this test."""
+    width, height = 56, 3
+    rng_bits = [(i * 7 + 3) % 2 for i in range(width)]  # deterministic
+
+    w = _W()
+    header(w, width, height)
+    w.w(1, 1)      # transform
+    w.w(0, 2)      # predictor
+    w.w(0, 3)      # size_bits = 2 → 14 blocks of 4px, one block row
+    # mode subimage 14×1: mode k at block k (green channel)
+    w.w(0, 1)      # no cache
+    canonical = list(range(14))
+    # canonical code over greens 0..13, all length 4 via code-length code
+    w.w(0, 1)      # not simple
+    w.w(0, 4)      # num_clc = 4 → order [17, 18, 0, 1]... need length '4'
+    # lengths for clc symbols [17, 18, 0, 4]: but order is fixed
+    # [17,18,0,1,2,3,4,...]; we need entries up to symbol 4 → num_clc ≥ 7
+    w.bits = w.bits[:-4]           # rewind the num_clc nibble
+    w.w(3, 4)                      # num_clc = 7 → [17, 18, 0, 1, 2, 3, 4]
+    for length in (0, 0, 0, 0, 0, 0, 1):   # only symbol '4' has a code
+        w.w(length, 3)
+    w.w(0, 1)      # no max_symbol limit
+    for _ in range(14):
+        w.code("")                 # single-symbol clc: '4' costs 0 bits
+    # all 14 symbols get length 4 → canonical codes 0000..1101 by symbol
+    single_codes(w, 0, 0, 0, 0)    # r, b, a, dist for the mode image
+    for mode in canonical:
+        w.code(format(mode, "04b"))
+    w.w(0, 1)      # end of transforms
+
+    # main image
+    w.w(0, 1)      # no cache
+    w.w(0, 1)      # no meta
+    simple_code(w, [0, 200])       # green residuals
+    simple_code(w, [0, 13])        # red residuals
+    simple_code(w, [0, 97])        # blue residuals
+    single_codes(w, 0)             # alpha residuals
+    single_codes(w, 0)             # distance
+    for x in range(width):         # row 0: varied literals
+        bit = rng_bits[x]
+        w.code(str(bit) * 3)       # same bit for g, r, b
+    for _ in range(2 * width):     # rows 1-2: zero residuals
+        w.code("000")
+
+    result = decode_webp(riff(w.tobytes()))
+    assert result is not None
+    _, _, luma = result
+
+    # --- independent reimplementation of the 14 predictors (spec §5.1) ---
+    def avg2(a, b):
+        return [(x + y) // 2 for x, y in zip(a, b)]
+
+    def clamp(v):
+        return max(0, min(255, v))
+
+    px = [[0, 0, 0, 0]] * (width * height)
+    for i in range(width * height):
+        x, y = i % width, i // width
+        if y == 0:
+            if x == 0:
+                pred = [255, 0, 0, 0]
+            else:
+                pred = px[i - 1]
+            bit = rng_bits[x]
+            px[i] = [
+                (pred[0] + 0) & 255,
+                (pred[1] + (13 if bit else 0)) & 255,
+                (pred[2] + (200 if bit else 0)) & 255,
+                (pred[3] + (97 if bit else 0)) & 255,
+            ]
+            continue
+        if x == 0:
+            px[i] = list(px[i - width])
+            continue
+        mode = x // 4
+        L, T, TL = px[i - 1], px[i - width], px[i - width - 1]
+        TR = px[i - width + 1]
+        if mode == 0:
+            pred = [255, 0, 0, 0]
+        elif mode == 1:
+            pred = L
+        elif mode == 2:
+            pred = T
+        elif mode == 3:
+            pred = TR
+        elif mode == 4:
+            pred = TL
+        elif mode == 5:
+            pred = avg2(avg2(L, TR), T)
+        elif mode == 6:
+            pred = avg2(L, TL)
+        elif mode == 7:
+            pred = avg2(L, T)
+        elif mode == 8:
+            pred = avg2(TL, T)
+        elif mode == 9:
+            pred = avg2(T, TR)
+        elif mode == 10:
+            pred = avg2(avg2(L, TL), avg2(T, TR))
+        elif mode == 11:
+            p_l = sum(abs(T[c] - TL[c]) for c in range(4))
+            p_t = sum(abs(L[c] - TL[c]) for c in range(4))
+            pred = L if p_l < p_t else T
+        elif mode == 12:
+            pred = [clamp(L[c] + T[c] - TL[c]) for c in range(4)]
+        else:
+            pred = [
+                clamp((a := (L[c] + T[c]) // 2) + (a - TL[c]) // 2)
+                for c in range(4)
+            ]
+        px[i] = [p & 255 for p in pred]
+
+    expected = np.array([
+        [0.299 * p[1] + 0.587 * p[2] + 0.114 * p[3]
+         for p in px[y * width : (y + 1) * width]]
+        for y in range(height)
+    ])
+    assert np.allclose(luma, expected)
+
+
+def test_vp8l_cross_color_transform():
+    # one block: g2r=10, g2b=246 (int8 −10), r2b=0 over pixel
+    # (a255, r20, g100, b200): red → 20 + (10*100>>5)=51;
+    # blue → 200 + (−10*100>>5) + 0 = 200 − 32 = 168
+    w = _W()
+    header(w, 1, 1)
+    w.w(1, 1)      # transform
+    w.w(1, 2)      # cross-color
+    w.w(0, 3)      # size_bits = 2
+    w.w(0, 1)      # cte subimage: no cache
+    # cte pixel: red=g2r, green=g2b, blue=r2b
+    single_codes(w, 246, 10, 0, 255, 0)   # green, red, blue, alpha, dist
+    w.w(0, 1)      # end transforms
+    w.w(0, 1)      # no cache
+    w.w(0, 1)      # no meta
+    single_codes(w, 100, 20, 200, 255, 0)
+    result = decode_webp(riff(w.tobytes()))
+    _, _, luma = result
+    assert abs(luma[0][0] - _luma(255, 51, 100, 168)) < 1e-9
