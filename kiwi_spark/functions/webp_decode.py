@@ -377,12 +377,21 @@ def _inverse_color_indexing(pixels, width, height, palette, width_bits):
 # top level
 # --------------------------------------------------------------------------
 
+# decompression-bomb guard: VP8L LZ77 can emit ~4096 pixels per ~2 coded
+# bytes, so a few-KB payload may declare a 16384×16384 canvas and expand to
+# 268M pixels inside the executor's mapInPandas batch. Cap the canvas at
+# 32 MP (well past real web images) and route larger files to None.
+MAX_PIXELS = 1 << 25
+
+
 def _decode_vp8l_stream(data: bytes):
     br = _BitReader(data)
     if br.read(8) != 0x2F:
         return None
     width = br.read(14) + 1
     height = br.read(14) + 1
+    if width * height > MAX_PIXELS:
+        return None
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         return None

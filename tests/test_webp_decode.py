@@ -449,3 +449,15 @@ def test_vp8l_cross_color_transform():
     result = decode_webp(riff(w.tobytes()))
     _, _, luma = result
     assert abs(luma[0][0] - _luma(255, 51, 100, 168)) < 1e-9
+
+
+def test_vp8l_oversized_canvas_routes_to_none():
+    """Bomb guard: a tiny payload declaring a 16384×16384 canvas (LZ77
+    would expand it executor-side) returns None instead of decoding."""
+    w = _W()
+    header(w, 16384, 16384)
+    w.w(0, 1)
+    w.w(0, 1)
+    w.w(0, 1)
+    single_codes(w, 0, 0, 0, 255, 0)
+    assert decode_webp(riff(w.tobytes())) is None
