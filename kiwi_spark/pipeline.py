@@ -54,6 +54,40 @@ def _parallel_commits(cat: Catalog, jobs: list[tuple]) -> None:
             future.result()
 
 
+SEARCH_INDEX_TABLES = [
+    "entity_trigrams", "entity_ivf", "edge_trigrams", "edge_ivf",
+    "ivf_centroids",
+]
+
+
+def _commit_search_index(cat: Catalog, spark: SparkSession) -> None:
+    """Build + commit the ranked-search index tables over the current
+    canonical graph (plans.search_index — the GIN/DiskANN analog)."""
+    from .plans.search_index import (
+        build_entity_search_index,
+        build_relationship_search_index,
+        centroid_rows,
+    )
+
+    nodes_m = cat.read(spark, "nodes")
+    edges_m = cat.read(spark, "edges")
+    e_post, e_asg, e_cents = build_entity_search_index(nodes_m)
+    r_post, r_asg, r_cents = build_relationship_search_index(edges_m, nodes_m)
+    cents = centroid_rows(spark, "entity", e_cents).unionByName(
+        centroid_rows(spark, "edge", r_cents)
+    )
+    _parallel_commits(
+        cat,
+        [
+            (e_post, "entity_trigrams", "indexing"),
+            (e_asg, "entity_ivf", "indexing"),
+            (r_post, "edge_trigrams", "indexing"),
+            (r_asg, "edge_ivf", "indexing"),
+            (cents, "ivf_centroids", "indexing"),
+        ],
+    )
+
+
 @dataclass
 class PipelineResult:
     warehouse: str
@@ -146,38 +180,10 @@ def run_pipeline(
     # 5b. (opt-in) ranked-search index: trigram posting tables + IVF cells —
     # the GIN/DiskANN analog (plans.search_index, VERDICT r3 #4)
     if build_search_index:
-        def _search_index():
-            from .plans.search_index import (
-                build_entity_search_index,
-                build_relationship_search_index,
-                centroid_rows,
-            )
-
-            nodes_m = cat.read(spark, "nodes")
-            edges_m = cat.read(spark, "edges")
-            e_post, e_asg, e_cents = build_entity_search_index(nodes_m)
-            r_post, r_asg, r_cents = build_relationship_search_index(
-                edges_m, nodes_m
-            )
-            cents = centroid_rows(spark, "entity", e_cents).unionByName(
-                centroid_rows(spark, "edge", r_cents)
-            )
-            _parallel_commits(
-                cat,
-                [
-                    (e_post, "entity_trigrams", "indexing"),
-                    (e_asg, "entity_ivf", "indexing"),
-                    (r_post, "edge_trigrams", "indexing"),
-                    (r_asg, "edge_ivf", "indexing"),
-                    (cents, "ivf_centroids", "indexing"),
-                ],
-            )
-
         stage(
             "search_index",
-            _search_index,
-            ["entity_trigrams", "entity_ivf", "edge_trigrams", "edge_ivf",
-             "ivf_centroids"],
+            lambda: _commit_search_index(cat, spark),
+            SEARCH_INDEX_TABLES,
         )
 
     # 6. lineage/metrics
@@ -283,8 +289,16 @@ def incremental_add(
         ],
     )
     result.timings["relink"] = round(time.time() - started, 3)
+    result.stages_run = ["text_append", "ingest_append", "relink"]
+
+    # the canonical graph changed — a previously-built search index would
+    # silently serve stale postings/cells, so rebuild it when present
+    if cat.exists("entity_trigrams"):
+        started = time.time()
+        _commit_search_index(cat, spark)
+        result.timings["search_index"] = round(time.time() - started, 3)
+        result.stages_run.append("search_index")
 
     for table in ("nodes", "edges", "mentions"):
         result.counts[table] = cat.read(spark, table).count()
-    result.stages_run = ["text_append", "ingest_append", "relink"]
     return result

@@ -233,3 +233,34 @@ def test_pipeline_search_index_stage_end_to_end(spark, tmp_path):
         build_search_index=True,
     )
     assert "search_index" in again.stages_skipped
+
+
+def test_incremental_add_rebuilds_search_index(spark, tmp_path):
+    """After incremental ingestion changes the canonical graph, a
+    previously-built search index must be rebuilt, not left stale."""
+    from kiwi_spark.pipeline import incremental_add, run_pipeline
+    from kiwi_spark.plans.search_index import load_centroids
+    from kiwi_spark.sources.catalog import Catalog
+    from kiwi_spark.sources.pages import pages_df
+
+    wh = str(tmp_path / "wh_inc_idx")
+    all_pages = pages_df(spark, 40, seed=3, partitions=4)
+    first = all_pages.where(F.col("url") < "https://n")
+    rest = all_pages.where(~(F.col("url") < "https://n"))
+    run_pipeline(spark, first, wh, build_search_index=True)
+    result = incremental_add(spark, rest, wh)
+    assert "search_index" in result.stages_run
+    cat = Catalog(wh)
+    nodes = cat.read(spark, "nodes")
+    name = nodes.orderBy(F.desc("n_sources"), "entity_id").first()["name"]
+    expected = _rows(search_entities(nodes, name))
+    got = _rows(
+        search_entities_indexed(
+            nodes,
+            cat.read(spark, "entity_trigrams"),
+            cat.read(spark, "entity_ivf"),
+            load_centroids(cat.read(spark, "ivf_centroids"), "entity"),
+            name,
+        )
+    )
+    assert got == expected
