@@ -16,8 +16,9 @@ documentation, reading streams via the existing CFB reader
 * **xls** — Workbook globals SST (+ LABELSST cell records across sheet
   substreams), NUMBER/RK numeric cells; rendered sheet-by-sheet as
   tab-joined rows in (row, col) order. SSTs spanning CONTINUE records
-  are handled for whole-string boundaries (the common case); strings
-  split mid-char bail to what was parsed.
+  are handled at any split point, including mid-string splits where the
+  continuation re-sends a grbit byte and may switch encoding
+  ([MS-XLS] 2.5.2); malformed splits bail to what was cleanly parsed.
 * **ppt** — record walk of the ``PowerPoint Document`` stream:
   container records (recVer 0xF) recursed, TextCharsAtom (UTF-16LE) /
   TextBytesAtom (cp1252) / CString payloads emitted in document order.
@@ -42,7 +43,7 @@ _DOC_CHAR_MAP = {
     0x0E: "\n",   # column break
     0x1E: "-",    # non-breaking hyphen
     0x1F: "",     # soft hyphen
-    0xA0: " ",
+    0xA0: " ",    # NBSP -> plain space
 }
 _DOC_DROP = frozenset([0x00, 0x01, 0x02, 0x05, 0x08, 0x13, 0x14, 0x15, 0x28])
 
@@ -53,7 +54,7 @@ def _doc_clean(text: str) -> str:
         code = ord(ch)
         if code in _DOC_DROP:
             continue
-        out.append(_DOC_CHAR_MAP.get(code, ch) if code < 0x20 or code == 0x1E else ch)
+        out.append(_DOC_CHAR_MAP.get(code, ch) if code in _DOC_CHAR_MAP else ch)
     return "".join(out)
 
 
@@ -127,38 +128,93 @@ def doc_to_text(streams: dict[str, bytes]) -> str:
 # Excel 97-2003 (.xls) — [MS-XLS] BIFF8 Workbook stream
 # --------------------------------------------------------------------------
 
-def _parse_sst(payload: bytes) -> list[str]:
-    """XLUnicodeRichExtendedString array; whole-string CONTINUE boundaries
-    are transparent because the caller concatenates record payloads."""
+class _SSTReader:
+    """Cursor over the SST record payload plus its CONTINUE payloads.
+
+    [MS-XLS] 2.5.2: an XLUnicodeRichExtendedString may be split across a
+    CONTINUE boundary.  When the split falls inside the CHARACTER data,
+    the continuation re-sends a 1-byte option-flags (grbit) prefix whose
+    fHighByte bit governs the encoding of the remaining characters (it
+    may differ from the first fragment's).  Splits inside fixed header
+    fields, rgRun, or ExtRst carry no such prefix.  Concatenating the
+    payloads verbatim therefore splices grbit bytes into string data and
+    shifts every subsequent cch field — the bug this class fixes.
+    """
+
+    def __init__(self, blocks: list[bytes]) -> None:
+        self.blocks = blocks
+        self.bi = 0
+        self.off = 0
+
+    def read(self, n: int) -> bytes:
+        """Read n bytes of non-character data (headers/runs/ext);
+        block boundaries are transparent — no grbit prefix."""
+        out = bytearray()
+        while n > 0:
+            while self.off >= len(self.blocks[self.bi]):
+                if self.bi + 1 >= len(self.blocks):
+                    raise EOFError("SST truncated")
+                self.bi += 1
+                self.off = 0
+            block = self.blocks[self.bi]
+            take = min(n, len(block) - self.off)
+            out += block[self.off : self.off + take]
+            self.off += take
+            n -= take
+        return bytes(out)
+
+    def read_chars(self, cch: int, high: bool) -> str:
+        """Read cch characters; crossing into a CONTINUE block mid-string
+        consumes that block's leading grbit and switches encoding."""
+        parts: list[str] = []
+        while cch > 0:
+            if self.off >= len(self.blocks[self.bi]):
+                if self.bi + 1 >= len(self.blocks):
+                    raise EOFError("SST string truncated")
+                self.bi += 1
+                self.off = 0
+                if not self.blocks[self.bi]:
+                    continue
+                high = bool(self.blocks[self.bi][0] & 0x01)
+                self.off = 1
+                continue
+            block = self.blocks[self.bi]
+            avail = len(block) - self.off
+            width = 2 if high else 1
+            take = min(cch, avail // width)
+            if take == 0:
+                # a split inside a UTF-16 code unit is malformed
+                raise EOFError("SST split mid-character")
+            raw = block[self.off : self.off + take * width]
+            parts.append(
+                raw.decode("utf-16-le" if high else "cp1252", errors="replace")
+            )
+            self.off += take * width
+            cch -= take
+        return "".join(parts)
+
+
+def _parse_sst(blocks: list[bytes]) -> list[str]:
+    """XLUnicodeRichExtendedString array over SST + CONTINUE payloads.
+    Malformed input bails, returning only the cleanly parsed strings."""
     strings: list[str] = []
-    if len(payload) < 8:
+    if not blocks or len(blocks[0]) < 8:
         return strings
-    (total,) = struct.unpack_from("<I", payload, 4)
-    pos = 8
+    (total,) = struct.unpack_from("<I", blocks[0], 4)
+    rd = _SSTReader(blocks)
+    rd.off = 8
     try:
         for _ in range(total):
-            if pos + 3 > len(payload):
-                break
-            cch, flags = struct.unpack_from("<HB", payload, pos)
-            pos += 3
+            cch, flags = struct.unpack("<HB", rd.read(3))
             c_run = 0
             cb_ext = 0
             if flags & 0x08:  # rich
-                c_run = struct.unpack_from("<H", payload, pos)[0]
-                pos += 2
+                (c_run,) = struct.unpack("<H", rd.read(2))
             if flags & 0x04:  # extended
-                cb_ext = struct.unpack_from("<I", payload, pos)[0]
-                pos += 4
-            if flags & 0x01:  # fHighByte: UTF-16LE
-                raw = payload[pos : pos + 2 * cch]
-                pos += 2 * cch
-                strings.append(raw.decode("utf-16-le", errors="replace"))
-            else:
-                raw = payload[pos : pos + cch]
-                pos += cch
-                strings.append(raw.decode("cp1252", errors="replace"))
-            pos += 4 * c_run + cb_ext
-    except struct.error:
+                (cb_ext,) = struct.unpack("<I", rd.read(4))
+            strings.append(rd.read_chars(cch, bool(flags & 0x01)))
+            rd.read(4 * c_run + cb_ext)
+    except (struct.error, EOFError):
         pass
     return strings
 
@@ -186,24 +242,21 @@ def xls_to_text(streams: dict[str, bytes]) -> str:
     cells: list[dict[tuple[int, int], str]] = []
     sheet_index = -1
     pos = 0
-    pending_sst: bytearray | None = None
+    pending_sst: list[bytes] | None = None
     while pos + 4 <= len(book):
         rtype, rlen = struct.unpack_from("<HH", book, pos)
         payload = book[pos + 4 : pos + 4 + rlen]
         pos += 4 + rlen
         if rtype == 0x00FC:  # SST (globals)
-            pending_sst = bytearray(payload)
+            pending_sst = [payload]
             continue
         if rtype == 0x003C and pending_sst is not None:  # CONTINUE
-            # drop the grbit byte a continued string block re-sends; the
-            # scoped parser only splices whole-string boundaries, where
-            # the continuation starts with the next cch field directly —
-            # heuristically keep the payload as-is (common writers break
-            # at string boundaries without a leading grbit)
-            pending_sst += payload
+            # kept as a separate block: _SSTReader knows a continuation
+            # that starts mid-string carries a leading grbit byte
+            pending_sst.append(payload)
             continue
         if pending_sst is not None:
-            sst = _parse_sst(bytes(pending_sst))
+            sst = _parse_sst(pending_sst)
             pending_sst = None
         if rtype == 0x0085 and len(payload) >= 8:  # BOUNDSHEET8
             cch = payload[6]
@@ -227,7 +280,7 @@ def xls_to_text(streams: dict[str, bytes]) -> str:
             row, col, _ixfe, rk = struct.unpack_from("<HHHI", payload, 0)
             cells[-1][(row, col)] = _fmt_num(_rk_value(rk))
     if pending_sst is not None:
-        sst = _parse_sst(bytes(pending_sst))
+        sst = _parse_sst(pending_sst)
 
     out: list[str] = []
     # substream 0 is workbook globals; sheets follow in BOUNDSHEET order

@@ -20,8 +20,10 @@ with blank lines, like ocr.ts:41-44). Pure Python:
   current font is tracked through ``Tf``; simple fonts without a CMap
   keep the Latin-1 fast path.
 
-NOT ported (needs rasterizing/OCR): layout-aware column/table
-reconstruction, image OCR (loader/pdf/ocr.ts, layout.ts, table.ts).
+Column/band reading-order layout (loader/pdf/layout.ts) is ported in
+this file (see the layout pass over positioned runs). NOT ported (needs
+rasterizing/OCR): image OCR and page rasterization (loader/pdf/ocr.ts,
+rasterize.ts).
 """
 
 from __future__ import annotations

@@ -298,7 +298,11 @@ def _predict(mode: int, left, top, top_left, top_right) -> list[int]:
         out = []
         for i in range(4):
             ave = _avg2(left[i], top[i])
-            out.append(max(0, min(255, ave + (ave - top_left[i]) // 2)))
+            # C integer division truncates toward zero (libwebp); Python's
+            # // floors, which is off by one for negative odd deltas.
+            d = ave - top_left[i]
+            half = (abs(d) // 2) * (1 if d >= 0 else -1)
+            out.append(max(0, min(255, ave + half)))
         return out
     raise ValueError(f"bad predictor mode {mode}")
 
@@ -341,7 +345,10 @@ def _inverse_color_transform(pixels, width, height, sub, bits) -> None:
     for i in range(width * height):
         x, y = i % width, i // width
         cte = sub[(y >> bits) * sw + (x >> bits)]
-        g2r, g2b, r2b = cte[1], cte[2], cte[3]  # red, green, blue channels
+        # RFC 9649 / libwebp ColorCodeToMultipliers: green_to_red is the
+        # BLUE channel of the transform pixel, green_to_blue the GREEN,
+        # red_to_blue the RED.
+        g2r, g2b, r2b = cte[3], cte[2], cte[1]
         px = pixels[i]
         px[1] = (px[1] + _delta(g2r, px[2])) & 0xFF
         px[3] = (px[3] + _delta(g2b, px[2]) + _delta(r2b, px[1])) & 0xFF

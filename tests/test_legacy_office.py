@@ -166,6 +166,79 @@ def test_xls_sst_cells_numbers_rk():
     ]
 
 
+def test_xls_sst_continue_mid_string_split():
+    """[MS-XLS] 2.5.2: a CONTINUE that begins mid-string re-sends a 1-byte
+    grbit whose fHighByte may DIFFER from the first fragment's. Splicing
+    payloads verbatim would shift every later cch — all four strings must
+    come out clean."""
+    from kiwi_spark.functions.legacy_office import _parse_sst
+
+    # s0 split mid-chars: "Hello" + "World" — continuation switches to
+    # UTF-16 for the tail (grbit 0x01)
+    s0_head = struct.pack("<HB", 10, 0x00) + b"Hello"
+    s0_tail = bytes([0x01]) + "World".encode("utf-16-le")
+    # s1 entirely inside the continuation, compressed
+    s1 = struct.pack("<HB", 3, 0x00) + b"abc"
+    blocks = [
+        struct.pack("<II", 2, 2) + s0_head,
+        s0_tail + s1,
+    ]
+    assert _parse_sst(blocks) == ["HelloWorld", "abc"]
+
+    # split exactly between header and char data → grbit still re-sent
+    blocks = [
+        struct.pack("<II", 1, 1) + struct.pack("<HB", 4, 0x01),
+        bytes([0x00]) + b"text",   # continuation downgrades to compressed
+    ]
+    assert _parse_sst(blocks) == ["text"]
+
+    # split between whole strings → next block starts with cch, NO grbit
+    blocks = [
+        struct.pack("<II", 2, 2) + struct.pack("<HB", 2, 0x00) + b"ab",
+        struct.pack("<HB", 2, 0x00) + b"cd",
+    ]
+    assert _parse_sst(blocks) == ["ab", "cd"]
+
+    # truncated mid-string: bail with only the clean strings
+    blocks = [
+        struct.pack("<II", 2, 2)
+        + struct.pack("<HB", 2, 0x00) + b"ok"
+        + struct.pack("<HB", 50, 0x00) + b"short",
+    ]
+    assert _parse_sst(blocks) == ["ok"]
+
+
+def test_xls_sst_continue_end_to_end():
+    """Full .xls round-trip with the SST split across a CONTINUE record
+    mid-string; the cell referencing a post-split isst must be clean."""
+    def sst_string(text: str) -> bytes:
+        return struct.pack("<HB", len(text), 0x00) + text.encode("cp1252")
+
+    part_a = struct.pack("<II", 2, 2) + struct.pack("<HB", 8, 0x00) + b"firs"
+    part_b = bytes([0x00]) + b"tstr" + sst_string("second")
+    boundsheet = struct.pack("<IBB", 0, 0, 0) + bytes([4, 0]) + b"Data"
+    book = (
+        _rec(0x0809, bytes(16))
+        + _rec(0x0085, boundsheet)
+        + _rec(0x00FC, part_a)
+        + _rec(0x003C, part_b)
+        + _rec(0x000A, b"")
+        + _rec(0x0809, bytes(16))
+        + _rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))
+        + _rec(0x00FD, struct.pack("<HHHI", 0, 1, 0, 1))
+        + _rec(0x000A, b"")
+    )
+    text, ft = payload_to_text(make_cfb({"Workbook": book}))
+    assert ft == "xls"
+    assert text.splitlines() == ["# Data", "firststr\tsecond"]
+
+
+def test_doc_nbsp_normalized():
+    from kiwi_spark.functions.legacy_office import _doc_clean
+
+    assert _doc_clean("a\xa0b\r") == "a b\n"
+
+
 # --------------------------------------------------------------------------
 # .ppt
 # --------------------------------------------------------------------------

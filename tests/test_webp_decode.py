@@ -416,10 +416,12 @@ def test_vp8l_all_predictor_modes_against_independent_reimpl():
         elif mode == 12:
             pred = [clamp(L[c] + T[c] - TL[c]) for c in range(4)]
         else:
-            pred = [
-                clamp((a := (L[c] + T[c]) // 2) + (a - TL[c]) // 2)
-                for c in range(4)
-            ]
+            pred = []
+            for c in range(4):
+                a = (L[c] + T[c]) // 2
+                d = a - TL[c]
+                # C-style truncation toward zero, as in libwebp
+                pred.append(clamp(a + (abs(d) // 2) * (1 if d >= 0 else -1)))
         px[i] = [p & 255 for p in pred]
 
     expected = np.array([
@@ -431,24 +433,27 @@ def test_vp8l_all_predictor_modes_against_independent_reimpl():
 
 
 def test_vp8l_cross_color_transform():
-    # one block: g2r=10, g2b=246 (int8 −10), r2b=0 over pixel
-    # (a255, r20, g100, b200): red → 20 + (10*100>>5)=51;
-    # blue → 200 + (−10*100>>5) + 0 = 200 − 32 = 168
+    # one block: g2r=10, g2b=246 (int8 −10), r2b=4 over pixel
+    # (a255, r20, g100, b200): red → 20 + (10*100>>5) = 20 + 31 = 51;
+    # blue → 200 + (−10*100>>5) + (4*51>>5) = 200 − 32 + 6 = 174
+    # (red_to_blue applies to the ALREADY-transformed red, per spec).
     w = _W()
     header(w, 1, 1)
     w.w(1, 1)      # transform
     w.w(1, 2)      # cross-color
     w.w(0, 3)      # size_bits = 2
     w.w(0, 1)      # cte subimage: no cache
-    # cte pixel: red=g2r, green=g2b, blue=r2b
-    single_codes(w, 246, 10, 0, 255, 0)   # green, red, blue, alpha, dist
+    # RFC 9649 ColorTransformElement channel layout: BLUE carries
+    # green_to_red, GREEN carries green_to_blue, RED carries red_to_blue.
+    # All three multipliers are distinct so a channel swap cannot pass.
+    single_codes(w, 246, 4, 10, 255, 0)   # green=g2b, red=r2b, blue=g2r
     w.w(0, 1)      # end transforms
     w.w(0, 1)      # no cache
     w.w(0, 1)      # no meta
     single_codes(w, 100, 20, 200, 255, 0)
     result = decode_webp(riff(w.tobytes()))
     _, _, luma = result
-    assert abs(luma[0][0] - _luma(255, 51, 100, 168)) < 1e-9
+    assert abs(luma[0][0] - _luma(255, 51, 100, 174)) < 1e-9
 
 
 def test_vp8l_oversized_canvas_routes_to_none():
