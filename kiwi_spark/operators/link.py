@@ -90,8 +90,15 @@ def connected_components(
 
     Iterates large-star/small-star to fixpoint (checked via count + hash
     checksum), localCheckpointing each round to cut lineage.
+
+    Orchestration latency (VERDICT r4 #6): the checkpoints are LAZY — the
+    convergence ``_signature`` aggregation is the action that materializes
+    each round's edge set, so every CC round costs ONE Spark job (star
+    transform + checkpoint + signature fused) instead of two. At high core
+    counts the fixed per-job latency dominates the fuzzy id_map stage, so
+    halving job count directly lifts the scaling-efficiency of that stage.
     """
-    e = _canon(edges).localCheckpoint(eager=True)
+    e = _canon(edges).localCheckpoint(eager=False)
 
     def _signature(df: DataFrame) -> tuple:
         row = df.select(
@@ -106,7 +113,7 @@ def connected_components(
     if prev_sig[0] == 0:
         return e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     for _ in range(max_iterations):
-        e2 = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        e2 = _canon(_small_star(_large_star(e))).localCheckpoint(eager=False)
         sig = _signature(e2)
         e = e2
         if sig == prev_sig:
@@ -327,26 +334,21 @@ def entity_id_map(nodes_doc: DataFrame, mode: str = "parity") -> DataFrame:
     )
 
 
-def canonicalize(
-    nodes_doc: DataFrame,
-    edges_doc: DataFrame,
-    mentions: DataFrame,
-    id_map: DataFrame,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Apply the id map: merge nodes, rewrite+dedupe edges, repoint mentions.
+def canonical_nodes(nodes_doc: DataFrame, id_map: DataFrame) -> DataFrame:
+    """Merge doc-level entity rows into canonical node rows.
 
-    Reference semantics (process-file.ts): canonical row keeps its attrs;
-    sources repointed (n_sources summed); self-loops deleted (:749-753);
-    undirected pair dedupe keeps min-id row with max(rank) (:755-857).
-    The canonical description is the L14 fold over member descriptions in
-    entity_id order (chunks of 300, tail≤25 merged — description.ts:6-64;
-    deterministic compressor, see functions.descriptions). Member
-    descriptions are capped at FOLD_MEMBER_CAP per group — a documented
-    PARITY EXCEPTION (COVERAGE.md L14): the reference folds ALL source
-    descriptions, but an uncapped collect_list over a 10^8-member head
-    entity would OOM an executor, and the left fold is non-associative
-    (truncation step) so partial per-partition folds would change its
-    output. Groups ≤600 members are exact.
+    Reference semantics (process-file.ts): canonical row keeps its attrs
+    (min_by entity_id ≡ first by active DESC, id ASC); sources repointed
+    (n_sources summed). The canonical description is the L14 fold over
+    member descriptions in entity_id order (chunks of 300, tail≤25 merged —
+    description.ts:6-64; deterministic compressor, see
+    functions.descriptions). Member descriptions are capped at
+    FOLD_MEMBER_CAP per group — a documented PARITY EXCEPTION
+    (COVERAGE.md L14): the reference folds ALL source descriptions, but an
+    uncapped collect_list over a 10^8-member head entity would OOM an
+    executor, and the left fold is non-associative (truncation step) so
+    partial per-partition folds would change its output. Groups ≤600
+    members are exact.
     """
     from pyspark.sql.types import StringType
 
@@ -377,7 +379,7 @@ def canonicalize(
             ).alias("description"),
         )
     )
-    nodes = nd.groupBy("canonical_id").agg(
+    return nd.groupBy("canonical_id").agg(
         F.min_by(F.struct("name", "type"), "entity_id").alias("attrs"),
         F.sum("n_sources").alias("n_sources"),
         F.count("*").alias("n_merged"),
@@ -392,13 +394,20 @@ def canonicalize(
         "n_urls",
     )
 
+
+def rewrite_edges(edges_doc: DataFrame, id_map: DataFrame) -> DataFrame:
+    """Repoint doc-level edges at canonical endpoints: self-loops deleted
+    (process-file.ts:749-753), endpoints oriented least/greatest for the
+    undirected pair dedupe. Returns the pre-aggregation rewritten rows
+    (er) — localCheckpointed because it feeds both the group aggregation
+    and the edge-id mapping."""
     src_map = id_map.select(
         F.col("entity_id").alias("src_id"), F.col("canonical_id").alias("src_c")
     )
     dst_map = id_map.select(
         F.col("entity_id").alias("dst_id"), F.col("canonical_id").alias("dst_c")
     )
-    er = (
+    return (
         edges_doc.join(src_map, "src_id")
         .join(dst_map, "dst_id")
         .where(F.col("src_c") != F.col("dst_c"))  # self-loop delete
@@ -413,7 +422,15 @@ def canonicalize(
         )
         .localCheckpoint(eager=False)  # feeds both edges agg and edge_id_map
     )
-    edges = er.groupBy("src_id", "dst_id").agg(
+
+
+def aggregate_edges(er: DataFrame) -> DataFrame:
+    """Undirected pair dedupe: keep min-id row's attrs with max(rank)
+    (process-file.ts:755-857). Every aggregate is a commutative monoid
+    (min / min_by-min / max / sum), which is what makes the incremental
+    delta path (operators.delta_link) able to re-aggregate dirty groups
+    from their member rows alone."""
+    return er.groupBy("src_id", "dst_id").agg(
         F.min("edge_id").alias("edge_id"),
         F.min_by(F.struct("pred", "description"), "edge_id").alias("attrs"),
         F.max("strength").alias("strength"),
@@ -428,13 +445,22 @@ def canonicalize(
         "n_sources",
     )
 
-    # repoint mentions: entity mentions via id_map, edge mentions via the
-    # (old edge_id → canonical edge_id) map derived from er
-    edge_id_map = er.join(
+
+def edge_id_mapping(er: DataFrame, edges: DataFrame) -> DataFrame:
+    """(old edge_id → canonical edge_id) from the rewritten rows + their
+    aggregated groups."""
+    return er.join(
         edges.select(F.col("edge_id").alias("canonical_edge_id"), "src_id", "dst_id"),
         ["src_id", "dst_id"],
     ).select("edge_id", "canonical_edge_id")
 
+
+def rewrite_mentions(
+    mentions: DataFrame, id_map: DataFrame, edge_id_map: DataFrame
+) -> DataFrame:
+    """Repoint mentions: entity mentions via id_map, edge mentions via the
+    (old edge_id → canonical edge_id) map; mentions of self-looped-away
+    edges drop with the inner join."""
     m_ent = (
         mentions.where(F.col("entity_id").isNotNull())
         .join(id_map, "entity_id")
@@ -461,4 +487,22 @@ def canonicalize(
             "source_chunk_ids",
         )
     )
-    return nodes, edges, m_ent.unionByName(m_edge)
+    return m_ent.unionByName(m_edge)
+
+
+def canonicalize(
+    nodes_doc: DataFrame,
+    edges_doc: DataFrame,
+    mentions: DataFrame,
+    id_map: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Apply the id map: merge nodes, rewrite+dedupe edges, repoint
+    mentions — the composition of canonical_nodes / rewrite_edges /
+    aggregate_edges / edge_id_mapping / rewrite_mentions (kept as separate
+    operators so the incremental delta path can run each over the touched
+    subset only)."""
+    nodes = canonical_nodes(nodes_doc, id_map)
+    er = rewrite_edges(edges_doc, id_map)
+    edges = aggregate_edges(er)
+    edge_id_map = edge_id_mapping(er, edges)
+    return nodes, edges, rewrite_mentions(mentions, id_map, edge_id_map)

@@ -54,10 +54,7 @@ def _parallel_commits(cat: Catalog, jobs: list[tuple]) -> None:
             future.result()
 
 
-SEARCH_INDEX_TABLES = [
-    "entity_trigrams", "entity_ivf", "edge_trigrams", "edge_ivf",
-    "ivf_centroids",
-]
+from .plans.search_index import SEARCH_INDEX_TABLES  # single source of truth
 
 
 def _commit_search_index(cat: Catalog, spark: SparkSession) -> None:
@@ -156,11 +153,23 @@ def run_pipeline(
     edges_doc = cat.read(spark, "edges_doc")
     mentions_doc = cat.read(spark, "mentions_doc")
 
-    # 4. cross-document linking (blocking + connected components)
+    # 4. cross-document linking (blocking + connected components).
+    # link_keys is the persisted linking-key index (the reference's
+    # Postgres expression index, sql.ts:16-22) — incremental_add
+    # semi-joins it to find the touched set in O(new + touched)
+    # (operators.delta_link).
     def _id_map():
-        cat.commit(entity_id_map(nodes_doc, mode=link_mode), "id_map", stage="deduplicating")
+        from .operators.delta_link import link_keys_df
 
-    stage("id_map", _id_map, ["id_map"])
+        _parallel_commits(
+            cat,
+            [
+                (entity_id_map(nodes_doc, mode=link_mode), "id_map", "deduplicating"),
+                (link_keys_df(nodes_doc, link_mode), "link_keys", "deduplicating"),
+            ],
+        )
+
+    stage("id_map", _id_map, ["id_map", "link_keys"])
     id_map = cat.read(spark, "id_map")
 
     # 5. canonical graph + materialize
@@ -272,32 +281,58 @@ def incremental_add(
     _append(lambda: m, "mentions_doc", "extracting")
     result.timings["ingest_append"] = round(time.time() - started, 3)
 
-    # global relink + canonical graph rebuild (L12 pass over all docs)
-    nodes_doc = cat.read(spark, "nodes_doc")
-    edges_doc = cat.read(spark, "edges_doc")
-    mentions_doc = cat.read(spark, "mentions_doc")
+    # relink: DELTA pass when the link_keys index exists (O(new + touched),
+    # operators.delta_link — VERDICT r4 #1/#2), else the legacy global L12
+    # pass (pre-round-5 warehouse), bootstrapping link_keys for next time.
     started = time.time()
-    cat.commit(entity_id_map(nodes_doc, mode=link_mode), "id_map", stage="deduplicating")
-    id_map = cat.read(spark, "id_map")
-    nodes, edges, mentions = canonicalize(nodes_doc, edges_doc, mentions_doc, id_map)
-    _parallel_commits(
-        cat,
-        [
-            (materialize_nodes(nodes, n_buckets), "nodes", "saving"),
-            (materialize_edges(edges, n_buckets), "edges", "saving"),
-            (materialize_mentions(mentions, n_buckets), "mentions", "saving"),
-        ],
-    )
-    result.timings["relink"] = round(time.time() - started, 3)
-    result.stages_run = ["text_append", "ingest_append", "relink"]
+    if cat.exists("link_keys"):
+        from .operators.delta_link import delta_relink
 
-    # the canonical graph changed — a previously-built search index would
-    # silently serve stale postings/cells, so rebuild it when present
-    if cat.exists("entity_trigrams"):
-        started = time.time()
-        _commit_search_index(cat, spark)
-        result.timings["search_index"] = round(time.time() - started, 3)
-        result.stages_run.append("search_index")
+        stats = delta_relink(
+            spark, cat, batch_id, link_mode=link_mode, n_buckets=n_buckets
+        )
+        result.timings["relink"] = round(time.time() - started, 3)
+        result.timings.update(
+            {f"relink_{k}": v for k, v in stats.timings.items()}
+        )
+        result.counts["touched_entities"] = stats.n_touched_entities
+        result.counts["touched_doc_edges"] = stats.n_touched_doc_edges
+        result.stages_run = ["text_append", "ingest_append", "delta_relink"]
+        if "search_index" in stats.timings:
+            result.stages_run.append("search_index")
+    else:
+        nodes_doc = cat.read(spark, "nodes_doc")
+        edges_doc = cat.read(spark, "edges_doc")
+        mentions_doc = cat.read(spark, "mentions_doc")
+        from .operators.delta_link import link_keys_df
+
+        _parallel_commits(
+            cat,
+            [
+                (entity_id_map(nodes_doc, mode=link_mode), "id_map", "deduplicating"),
+                (link_keys_df(nodes_doc, link_mode), "link_keys", "deduplicating"),
+            ],
+        )
+        id_map = cat.read(spark, "id_map")
+        nodes, edges, mentions = canonicalize(nodes_doc, edges_doc, mentions_doc, id_map)
+        _parallel_commits(
+            cat,
+            [
+                (materialize_nodes(nodes, n_buckets), "nodes", "saving"),
+                (materialize_edges(edges, n_buckets), "edges", "saving"),
+                (materialize_mentions(mentions, n_buckets), "mentions", "saving"),
+            ],
+        )
+        result.timings["relink"] = round(time.time() - started, 3)
+        result.stages_run = ["text_append", "ingest_append", "relink"]
+
+        # legacy path: the canonical graph changed — rebuild the search
+        # index wholesale when present
+        if cat.exists("entity_trigrams"):
+            started = time.time()
+            _commit_search_index(cat, spark)
+            result.timings["search_index"] = round(time.time() - started, 3)
+            result.stages_run.append("search_index")
 
     for table in ("nodes", "edges", "mentions"):
         result.counts[table] = cat.read(spark, table).count()

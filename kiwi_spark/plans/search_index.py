@@ -332,3 +332,61 @@ def build_relationship_search_index(edges: DataFrame, nodes: DataFrame,
         id_col="edge_id", vec_col="embedding",
     )
     return posting, assigned, centroids
+
+
+# --------------------------------------------------------------------------
+# auto-routing (VERDICT r4 #7): serve from the index when it exists
+# --------------------------------------------------------------------------
+
+SEARCH_INDEX_TABLES = (
+    "entity_trigrams", "entity_ivf", "edge_trigrams", "edge_ivf",
+    "ivf_centroids",
+)
+
+
+def has_search_index(cat) -> bool:
+    """True iff all five index tables are committed in the warehouse."""
+    return all(cat.exists(t) for t in SEARCH_INDEX_TABLES)
+
+
+def search_entities_auto(spark, cat, nodes: DataFrame, query_text: str,
+                         limit: int = 10, cursor: tuple | None = None,
+                         keywords: list[str] | None = None) -> DataFrame:
+    """Q2 with automatic index routing: probe the trigram/IVF tables when
+    the warehouse has them (result-identical, bounded candidate scan),
+    fall back to the full-scan scorer otherwise — the same transparent
+    behavior a Postgres planner gives the reference's GIN/DiskANN
+    indexes (graph.ts:227-228)."""
+    if has_search_index(cat):
+        return search_entities_indexed(
+            nodes,
+            cat.read(spark, "entity_trigrams"),
+            cat.read(spark, "entity_ivf"),
+            load_centroids(cat.read(spark, "ivf_centroids"), "entity"),
+            query_text, limit=limit, cursor=cursor, keywords=keywords,
+        )
+    from .queries import search_entities
+
+    return search_entities(
+        nodes, query_text, limit=limit, cursor=cursor, keywords=keywords
+    )
+
+
+def search_relationships_auto(spark, cat, edges: DataFrame, nodes: DataFrame,
+                              query_text: str, limit: int = 10,
+                              cursor: tuple | None = None,
+                              keywords: list[str] | None = None) -> DataFrame:
+    """Q4 with automatic index routing (see ``search_entities_auto``)."""
+    if has_search_index(cat):
+        return search_relationships_indexed(
+            edges, nodes,
+            cat.read(spark, "edge_trigrams"),
+            cat.read(spark, "edge_ivf"),
+            load_centroids(cat.read(spark, "ivf_centroids"), "edge"),
+            query_text, limit=limit, cursor=cursor, keywords=keywords,
+        )
+    from .queries import search_relationships
+
+    return search_relationships(
+        edges, nodes, query_text, limit=limit, cursor=cursor, keywords=keywords
+    )

@@ -23,14 +23,46 @@ def _q(value: str) -> str:
 
 def register_graph_views(spark: SparkSession, warehouse: str,
                          prefix: str = "kg_") -> list[str]:
-    """Register kg_nodes / kg_edges / … temp views over the warehouse."""
+    """Register kg_nodes / kg_edges / … temp views over the warehouse —
+    plus the five ranked-search index tables when the warehouse has them
+    (kg_entity_trigrams …), so SQL users can probe postings directly."""
+    from .search_index import SEARCH_INDEX_TABLES
+
     cat = Catalog(warehouse)
     registered = []
-    for table in GRAPH_TABLES:
+    for table in (*GRAPH_TABLES, *SEARCH_INDEX_TABLES):
         if cat.exists(table):
             cat.read(spark, table).createOrReplaceTempView(prefix + table)
             registered.append(prefix + table)
     return registered
+
+
+def search_entities(spark: SparkSession, warehouse: str, query_text: str,
+                    limit: int = 10, keywords: list[str] | None = None) -> DataFrame:
+    """Q2 from the SQL surface with automatic index routing: probes the
+    trigram/IVF tables when the warehouse has them (result-identical),
+    full-scan otherwise — mirroring how the reference's Postgres planner
+    transparently uses its GIN/DiskANN indexes."""
+    from .search_index import search_entities_auto
+
+    cat = Catalog(warehouse)
+    return search_entities_auto(
+        spark, cat, cat.read(spark, "nodes"), query_text,
+        limit=limit, keywords=keywords,
+    )
+
+
+def search_relationships(spark: SparkSession, warehouse: str, query_text: str,
+                         limit: int = 10,
+                         keywords: list[str] | None = None) -> DataFrame:
+    """Q4 from the SQL surface with automatic index routing."""
+    from .search_index import search_relationships_auto
+
+    cat = Catalog(warehouse)
+    return search_relationships_auto(
+        spark, cat, cat.read(spark, "edges"), cat.read(spark, "nodes"),
+        query_text, limit=limit, keywords=keywords,
+    )
 
 
 def entity_by_name_sql(name_norm: str, prefix: str = "kg_") -> str:

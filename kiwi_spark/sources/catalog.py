@@ -67,16 +67,29 @@ class Catalog:
 
     # -- commit / read -----------------------------------------------------
     def commit(self, df, table: str, stage: str | None = None,
-               append: bool = False, batch_id: str | None = None) -> dict:
+               append: bool = False, batch_id: str | None = None,
+               delete_keys=None, delete_on: list[str] | None = None) -> dict:
         """Write df as the next snapshot of `table`, then flip the manifest.
 
         ``append=True`` writes only df's rows into the new snapshot dir and
         the snapshot references the previous snapshot's dirs as well —
         an Iceberg fast-append (no rewrite of existing data).
 
+        ``delete_keys`` + ``delete_on`` (requires ``append=True``) add an
+        Iceberg *equality-delete* to the same commit: delete_keys is a
+        DataFrame of key tuples, delete_on the key column names. Readers
+        anti-join the delete set against rows from EARLIER snapshots only —
+        rows appended by this commit (or later) are not affected, exactly
+        Iceberg's sequence-number rule. This makes incremental maintenance
+        commits O(changed rows): old rows are masked, not rewritten.
+        Read amplification grows with the delete chain; ``compact()``
+        rewrites the table to a single clean snapshot.
+
         ``batch_id`` tags the snapshot with an idempotency key (Iceberg's
         wap.id analog): retried incremental batches check
         ``batch_appended`` and skip instead of double-appending."""
+        if delete_keys is not None and not (append and delete_on):
+            raise ValueError("delete_keys requires append=True and delete_on")
         manifest = self._read_manifest(table) or {"current": None, "snapshots": []}
         next_id = (
             max((s["id"] for s in manifest["snapshots"]), default=0) + 1
@@ -85,12 +98,22 @@ class Catalog:
         out = os.path.join(self.warehouse, table, snap_dir)
         started = time.time()
         df.write.mode("overwrite").parquet(out)
+        if delete_keys is not None:
+            delete_keys.select(*delete_on).write.mode("overwrite").parquet(
+                os.path.join(self.warehouse, table, snap_dir + "-deletes")
+            )
         dirs = [snap_dir]
+        deletes = []
         if append and manifest["current"] is not None:
             prev = next(
                 s for s in manifest["snapshots"] if s["id"] == manifest["current"]
             )
             dirs = (prev.get("dirs") or [prev["dir"]]) + [snap_dir]
+            deletes = list(prev.get("deletes") or [])
+        if delete_keys is not None:
+            deletes.append(
+                {"dir": snap_dir + "-deletes", "on": delete_on, "seq": next_id}
+            )
         snap = {
             "id": next_id,
             "dir": snap_dir,
@@ -99,6 +122,8 @@ class Catalog:
             "committed_at": time.time(),
             "write_seconds": round(time.time() - started, 3),
         }
+        if deletes:
+            snap["deletes"] = deletes
         if batch_id is not None:
             snap["batch_id"] = batch_id
         manifest["snapshots"].append(snap)
@@ -121,7 +146,11 @@ class Catalog:
         )
         live = set(cur.get("dirs") or [cur["dir"]])
         return any(
-            s.get("batch_id") == batch_id and s["dir"] in live
+            s["dir"] in live
+            and (
+                s.get("batch_id") == batch_id
+                or batch_id in (s.get("batch_ids") or [])
+            )
             for s in manifest["snapshots"]
         )
 
@@ -135,7 +164,67 @@ class Catalog:
         ]
 
     def read(self, spark, table: str):
-        return spark.read.parquet(*self.paths(table))
+        snap = self.current_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        deletes = snap.get("deletes") or []
+        if not deletes:
+            return spark.read.parquet(*self.paths(table))
+        # merge-on-read: equality deletes mask rows from snapshots OLDER
+        # than the delete (Iceberg sequence-number semantics) — a commit
+        # that deletes key K and appends new K rows keeps the new rows.
+        # Dirs sharing the same applicable delete set are read together.
+        dirs = snap.get("dirs") or [snap["dir"]]
+        by_delset: dict[tuple, list[str]] = {}
+        for d in dirs:
+            seq = int(d.split("-")[1])
+            applicable = tuple(
+                i for i, dl in enumerate(deletes) if dl["seq"] > seq
+            )
+            by_delset.setdefault(applicable, []).append(
+                os.path.join(self.warehouse, table, d)
+            )
+        out = None
+        for applicable, paths in sorted(by_delset.items()):
+            part = spark.read.parquet(*paths)
+            for i in applicable:
+                dl = deletes[i]
+                keys = spark.read.parquet(
+                    os.path.join(self.warehouse, table, dl["dir"])
+                )
+                part = part.join(keys, on=list(dl["on"]), how="left_anti")
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def compact(self, spark, table: str, stage: str | None = None) -> dict:
+        """Rewrite the table's merged view as one clean snapshot — the
+        Iceberg rewrite-data-files action that bounds MOR read
+        amplification. Call after every N incremental batches. Batch-id
+        provenance of the compacted-away snapshots is carried forward so
+        ``batch_appended`` stays truthful across compaction."""
+        manifest = self._read_manifest(table) or {"snapshots": []}
+        cur = self.current_snapshot(table)
+        live = set((cur.get("dirs") or [cur["dir"]])) if cur else set()
+        lineage_ids = sorted(
+            {
+                b
+                for s in manifest["snapshots"]
+                if s["dir"] in live
+                for b in ([s["batch_id"]] if s.get("batch_id") else [])
+                + list(s.get("batch_ids") or [])
+            }
+        )
+        snap = self.commit(self.read(spark, table), table, stage=stage)
+        if lineage_ids:
+            manifest = self._read_manifest(table)
+            entry = next(s for s in manifest["snapshots"] if s["id"] == snap["id"])
+            entry["batch_ids"] = lineage_ids
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=2)
+            os.replace(tmp, self._manifest_path(table))
+            snap = entry
+        return snap
 
     def drop(self, table: str) -> None:
         target = os.path.join(self.warehouse, table)

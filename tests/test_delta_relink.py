@@ -1,0 +1,219 @@
+"""Delta relink (operators/delta_link.py — VERDICT r4 #1/#2): per-batch
+relink cost O(new + touched), result provably identical to the global
+pass, search-index maintenance via bounded merge-on-read commits."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kiwi_spark.operators.delta_link import link_keys_df, touched_entity_ids
+from kiwi_spark.pipeline import incremental_add, run_pipeline
+from kiwi_spark.sources.catalog import Catalog
+from kiwi_spark.sources.pages import pages_df
+
+
+def _graph_signature(spark, warehouse):
+    cat = Catalog(warehouse)
+    nodes = {
+        (r["entity_id"], r["name"], r["type"], r["n_sources"], r["description"])
+        for r in cat.read(spark, "nodes").collect()
+    }
+    edges = {
+        (r["edge_id"], r["src_id"], r["dst_id"], r["pred"], r["strength"], r["n_sources"])
+        for r in cat.read(spark, "edges").collect()
+    }
+    mentions = {
+        (r["mention_id"], r["entity_id"], r["edge_id"])
+        for r in cat.read(spark, "mentions").collect()
+    }
+    return nodes, edges, mentions
+
+
+def _split3(pages):
+    a = pages.where(F.col("url") < "https://h")
+    b = pages.where((F.col("url") >= "https://h") & (F.col("url") < "https://p"))
+    c = pages.where(F.col("url") >= "https://p")
+    return a, b, c
+
+
+def test_multi_batch_delta_equals_full_run_fuzzy(spark, tmp_path):
+    """Two successive delta batches in FUZZY mode (multi-key transitive
+    closure — the hard case for the affected-component expansion) must
+    reproduce the from-scratch graph exactly."""
+    wh_full = str(tmp_path / "full")
+    wh_incr = str(tmp_path / "incr")
+    all_pages = pages_df(spark, 45, seed=11, partitions=4)
+    a, b, c = _split3(all_pages)
+    assert a.count() > 5 and b.count() > 5 and c.count() > 5
+
+    run_pipeline(spark, all_pages, wh_full, link_mode="fuzzy", collect_lineage=False)
+    run_pipeline(spark, a, wh_incr, link_mode="fuzzy", collect_lineage=False)
+    r1 = incremental_add(spark, b, wh_incr, link_mode="fuzzy")
+    assert "delta_relink" in r1.stages_run
+    r2 = incremental_add(spark, c, wh_incr, link_mode="fuzzy")
+    assert "delta_relink" in r2.stages_run
+
+    assert _graph_signature(spark, wh_incr) == _graph_signature(spark, wh_full)
+
+
+def test_touched_set_exact_parity(spark, tmp_path):
+    """The delta's touched set must equal the brute-force minimal affected
+    set — (old entities sharing a linking key with the batch) ∪ (batch
+    entities) — and be a strict subset of the warehouse. This is the
+    structural O(new + touched) evidence: the heavy recompute runs only
+    over this set, whose size is governed by the batch, not the warehouse
+    (the from-scratch equivalence test pins that the subset is enough)."""
+    wh = str(tmp_path / "wh")
+    all_pages = pages_df(spark, 40, seed=5, partitions=4)
+    base = all_pages.where(F.col("url") < "https://s")
+    batch = all_pages.where(F.col("url") >= "https://s")
+    run_pipeline(spark, base, wh, collect_lineage=False)
+    cat = Catalog(wh)
+
+    old_link_keys = cat.read(spark, "link_keys").collect()
+    old_id_map = cat.read(spark, "id_map")
+    n_total = old_id_map.count()
+
+    result = incremental_add(spark, batch, wh)
+    assert "delta_relink" in result.stages_run
+
+    batch_nodes = None
+    # brute-force expectation from the committed doc views: batch entities
+    # are the nodes_doc rows whose url is in the batch
+    batch_urls = {r["url"] for r in batch.select("url").collect()}
+    nodes_doc = cat.read(spark, "nodes_doc").collect()
+    batch_ids = {r["entity_id"] for r in nodes_doc if r["url"] in batch_urls}
+    batch_keys = {
+        r["key"]
+        for r in link_keys_df(
+            cat.read(spark, "nodes_doc").where(
+                F.col("url").isin(list(batch_urls))
+            ),
+            "parity",
+        ).collect()
+    }
+    expected = batch_ids | {
+        r["entity_id"] for r in old_link_keys if r["key"] in batch_keys
+    }
+    assert result.counts["touched_entities"] == len(expected)
+    assert len(expected) < n_total + len(batch_ids)  # strict subset of total
+
+    # and the reusable helper computes exactly that set
+    got = {
+        r["entity_id"]
+        for r in touched_entity_ids(
+            spark.createDataFrame([(k,) for k in sorted(batch_keys)], "key string"),
+            spark.createDataFrame(
+                [(r["entity_id"], r["key"]) for r in old_link_keys],
+                "entity_id string, key string",
+            ),
+            old_id_map,
+            spark.createDataFrame(
+                [(i,) for i in sorted(batch_ids)], "entity_id string"
+            ),
+            "parity",
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_index_commit_is_bounded_mor(spark, tmp_path):
+    """Incremental search-index maintenance must commit O(touched) rows
+    (append + equality-delete), NOT rewrite the posting tables — and the
+    merged view must stay query-parity (covered by
+    test_search_index.py::test_incremental_add_rebuilds_search_index)."""
+    wh = str(tmp_path / "wh_idx")
+    all_pages = pages_df(spark, 40, seed=7, partitions=4)
+    base = all_pages.where(F.col("url") < "https://s")
+    batch = all_pages.where(F.col("url") >= "https://s")
+    run_pipeline(spark, base, wh, collect_lineage=False, build_search_index=True)
+    cat = Catalog(wh)
+    before_rows = cat.read(spark, "entity_trigrams").count()
+    before_snap = cat.current_snapshot("entity_trigrams")
+
+    result = incremental_add(spark, batch, wh)
+    touched = result.counts["touched_entities"]
+
+    snap = cat.current_snapshot("entity_trigrams")
+    assert snap["id"] != before_snap["id"]
+    # the new snapshot is an append: prior data dirs still referenced
+    assert before_snap["dir"] in snap["dirs"]
+    # and it carries an equality delete
+    assert snap.get("deletes"), snap
+    # the newly WRITTEN rows are bounded by the touched set's postings,
+    # far below a full rebuild
+    new_dir = os.path.join(wh, "entity_trigrams", snap["dir"])
+    appended = spark.read.parquet(new_dir).count()
+    total_after = cat.read(spark, "entity_trigrams").count()
+    assert appended < total_after  # strictly less than a full rewrite
+    # every appended posting row belongs to a touched entity
+    appended_ids = {
+        r["id"] for r in spark.read.parquet(new_dir).select("id").collect()
+    }
+    assert len(appended_ids) <= touched
+
+    # ivf assignments did not retrain centroids
+    cents_now = cat.read(spark, "ivf_centroids")
+    assert cat.current_snapshot("ivf_centroids")["id"] == 1
+    assert cents_now.count() > 0
+
+
+def test_incremental_retry_is_idempotent(spark, tmp_path):
+    """Re-running the same batch (crash-retry) must not duplicate rows in
+    any table — including the MOR index tables — and must leave the graph
+    identical to from-scratch."""
+    wh_full = str(tmp_path / "full")
+    wh = str(tmp_path / "wh_retry")
+    all_pages = pages_df(spark, 36, seed=13, partitions=4)
+    base = all_pages.where(F.col("url") < "https://s")
+    batch = all_pages.where(F.col("url") >= "https://s")
+
+    run_pipeline(spark, all_pages, wh_full, collect_lineage=False)
+    run_pipeline(spark, base, wh, collect_lineage=False, build_search_index=True)
+    incremental_add(spark, batch, wh)
+    sig1 = _graph_signature(spark, wh)
+    idx1 = sorted(
+        (r["id"], r["field"], r["gram"])
+        for r in Catalog(wh).read(spark, "entity_trigrams").collect()
+    )
+
+    incremental_add(spark, batch, wh)  # full retry of the same batch
+    assert _graph_signature(spark, wh) == sig1 == _graph_signature(spark, wh_full)
+    idx2 = sorted(
+        (r["id"], r["field"], r["gram"])
+        for r in Catalog(wh).read(spark, "entity_trigrams").collect()
+    )
+    assert idx2 == idx1
+
+
+def test_mor_equality_deletes(spark, tmp_path):
+    """Catalog merge-on-read semantics: equality deletes mask only EARLIER
+    snapshots' rows; compaction folds the chain and keeps batch-id
+    provenance for idempotency checks."""
+    cat = Catalog(str(tmp_path / "mor"))
+    cat.commit(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string"),
+        "t",
+    )
+    cat.commit(
+        spark.createDataFrame([(2, "b2"), (4, "d")], "id int, v string"),
+        "t", append=True, batch_id="x1",
+        delete_keys=spark.createDataFrame([(2,)], "id int"), delete_on=["id"],
+    )
+    rows = sorted((r["id"], r["v"]) for r in cat.read(spark, "t").collect())
+    assert rows == [(1, "a"), (2, "b2"), (3, "c"), (4, "d")]
+    cat.commit(
+        spark.createDataFrame([(5, "e")], "id int, v string"),
+        "t", append=True, batch_id="x2",
+        delete_keys=spark.createDataFrame([(1,), (4,)], "id int"),
+        delete_on=["id"],
+    )
+    rows = sorted((r["id"], r["v"]) for r in cat.read(spark, "t").collect())
+    assert rows == [(2, "b2"), (3, "c"), (5, "e")]
+
+    cat.compact(spark, "t")
+    rows = sorted((r["id"], r["v"]) for r in cat.read(spark, "t").collect())
+    assert rows == [(2, "b2"), (3, "c"), (5, "e")]
+    assert not (Catalog(str(tmp_path / "mor")).current_snapshot("t").get("deletes"))
+    # provenance survives compaction → retried batches still skip
+    assert cat.batch_appended("t", "x1") and cat.batch_appended("t", "x2")
