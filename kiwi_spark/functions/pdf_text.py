@@ -21,9 +21,13 @@ with blank lines, like ocr.ts:41-44). Pure Python:
   keep the Latin-1 fast path.
 
 Column/band reading-order layout (loader/pdf/layout.ts) is ported in
-this file (see the layout pass over positioned runs). NOT ported (needs
-rasterizing/OCR): image OCR and page rasterization (loader/pdf/ocr.ts,
-rasterize.ts).
+this file (see the layout pass over positioned runs). Drawn-grid table
+reconstruction (loader/pdf/table.ts "lines" strategy) is ported in the
+companion module ``pdf_tables`` and wired into the layout pass: detected
+tables render as markdown pipe tables in reading-order position. NOT
+ported (needs rasterizing/OCR): image OCR and page rasterization
+(loader/pdf/ocr.ts, rasterize.ts), and table.ts's text-alignment
+strategy + rotated-table transposition (need per-glyph metrics).
 """
 
 from __future__ import annotations
@@ -534,7 +538,9 @@ def _order_with_vertical_split(split, page_width: float,
 
 
 def extract_content_text(content: bytes, fonts: dict | None = None,
-                         page_width: float = 612.0) -> str:
+                         page_width: float = 612.0,
+                         page_height: float = 792.0,
+                         with_tables: bool = True) -> str:
     """Walk a content stream's text operators into positioned runs, then
     assemble lines the way the reference does (loader/pdf/layout.ts
     sortRegionsTopLeft): runs sort top-to-bottom with a 1pt y tolerance,
@@ -641,6 +647,34 @@ def extract_content_text(content: bytes, fonts: dict | None = None,
             emit("".join(p for p in pieces if p is not None))
         stack = []
 
+    # drawn-grid table reconstruction (loader/pdf/table.ts port, VERDICT
+    # r4 #3): runs inside a detected table render as a markdown pipe table
+    # at the table's reading-order position instead of loose lines
+    table_md: dict[str, str] = {}
+    if with_tables:
+        from .pdf_tables import detect_tables
+
+        for k, table in enumerate(detect_tables(content, runs, page_height)):
+            bbox = table["bbox"]
+
+            def inside(r, bbox=bbox):
+                cx = (r.left + r.right) / 2.0
+                cy = page_height - r.center_y
+                return (
+                    bbox["x0"] <= cx < bbox["x1"]
+                    and bbox["top"] <= cy < bbox["bottom"]
+                )
+
+            runs = [r for r in runs if not inside(r)]
+            sentinel = f"\x00TBL{k}\x00"
+            table_md[sentinel] = table["markdown"]
+            runs.append(
+                _Region(
+                    page_height - bbox["top"], bbox["x0"],
+                    10_000_000 + k, sentinel, 1.0,
+                )
+            )
+
     # reading-order layout (layout.ts orderPositionedRegions): column /
     # band splits first, then per-group baseline clustering within 1pt —
     # same-baseline runs in DIFFERENT columns stay in their column's flow
@@ -660,34 +694,56 @@ def extract_content_text(content: bytes, fonts: dict | None = None,
         joined = "".join(current)
         if joined.strip():
             lines.append(joined)
+    if table_md:
+        expanded: list[str] = []
+        for line in lines:
+            stripped = line.strip()
+            if stripped in table_md:
+                # blank-line fenced so the pipe table stands as a block
+                if expanded and expanded[-1] != "":
+                    expanded.append("")
+                expanded.append(table_md[stripped])
+                expanded.append("")
+            else:
+                expanded.append(line)
+        while expanded and expanded[-1] == "":
+            expanded.pop()
+        lines = expanded
     return "\n".join(lines)
 
 
-def _page_width(page_body: bytes,
-                objects: dict[int, tuple[bytes, bytes | None]]) -> float:
-    """/MediaBox width, inherited via /Parent like /Resources; US-Letter
-    612pt when absent (the column-split geometry only needs the scale)."""
+def _page_box(page_body: bytes,
+              objects: dict[int, tuple[bytes, bytes | None]]) -> tuple[float, float]:
+    """/MediaBox (width, height), inherited via /Parent like /Resources;
+    US-Letter 612×792pt when absent (the geometry only needs the scale)."""
     body = page_body
     seen: set[int] = set()
     while True:
         box = re.search(
-            rb"/MediaBox\s*\[\s*([-\d.]+)\s+[-\d.]+\s+([-\d.]+)", body
+            rb"/MediaBox\s*\[\s*([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)\s+([-\d.]+)",
+            body,
         )
         if box:
             try:
-                width = abs(float(box.group(2)) - float(box.group(1)))
-                if width > 0:
-                    return width
+                width = abs(float(box.group(3)) - float(box.group(1)))
+                height = abs(float(box.group(4)) - float(box.group(2)))
+                if width > 0 and height > 0:
+                    return width, height
             except ValueError:
                 pass
         parent = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", body)
         if not parent:
-            return 612.0
+            return 612.0, 792.0
         pnum = int(parent.group(1))
         if pnum in seen or pnum not in objects:
-            return 612.0
+            return 612.0, 792.0
         seen.add(pnum)
         body = objects[pnum][0]
+
+
+def _page_width(page_body: bytes,
+                objects: dict[int, tuple[bytes, bytes | None]]) -> float:
+    return _page_box(page_body, objects)[0]
 
 
 def pdf_to_text(data: bytes) -> str:
@@ -704,8 +760,10 @@ def pdf_to_text(data: bytes) -> str:
         if not content:
             continue
         fonts = _page_fonts(objects[num][0], objects)
-        width = _page_width(objects[num][0], objects)
-        text = extract_content_text(content, fonts, page_width=width).strip()
+        width, height = _page_box(objects[num][0], objects)
+        text = extract_content_text(
+            content, fonts, page_width=width, page_height=height
+        ).strip()
         if text:
             parts.append(f":::PAGE-{index + 1}:::\n\n{text}")
     return "\n\n".join(parts)
