@@ -361,6 +361,15 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
         from ..functions.jpeg_decode import decode_jpeg
         from ..functions.tiff_decode import decode_tiff
         from ..functions.webp_decode import decode_webp
+        from ..functions.webp_native import decode_luma as _native_decode_luma
+
+        def _native_webp_luma(payload: bytes):
+            # system-libwebp fallback for streams the from-spec VP8L
+            # decoder doesn't cover (lossy VP8, VP8X containers); only
+            # consulted for RIFF/WEBP payloads
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+                return None
+            return _native_decode_luma(payload)
 
         for batch in batches:
             rows = []
@@ -375,6 +384,7 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                     or decode_gif(payload)
                     or decode_tiff(payload)
                     or decode_webp(payload)
+                    or _native_webp_luma(payload)
                 )
                 if decoded is not None:
                     width, height, luma = decoded
@@ -383,10 +393,12 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                 elif not fake:
                     raise NotImplementedError(
                         "image decoding beyond BMP/PNG/GIF/TIFF/JPEG/"
-                        "lossless-WebP requires PIL (lossy WebP is a full "
-                        "VP8 intra-frame — arithmetic coding + loop "
-                        "filters) — not available in this environment; "
-                        "pass fake=True for plumbing tests"
+                        "WebP requires PIL; lossy WebP (VP8 intra-frame) "
+                        "decodes via the system libwebp when present "
+                        "(functions.webp_native) — a verifiable from-spec "
+                        "port is blocked on the RFC 6386 default "
+                        "probability tables, unobtainable offline. Pass "
+                        "fake=True for plumbing tests"
                     )
                 else:
                     # --- STUB: deterministic fake decode -------------------
