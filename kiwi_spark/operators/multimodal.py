@@ -426,12 +426,16 @@ def decode_image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
 def decode_audio_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     """audio → (sample_rate, n_channels, duration_ms, rms, peak).
 
-    PCM-16 WAV payloads are decoded for REAL (decode_wav); other formats
-    need torchaudio/ffmpeg — STUBBED behind ``fake=True``.
+    WAV (full sample-format family, decode_wav) and FLAC (from-spec
+    frame decode, functions.flac_decode) are decoded for REAL; lossy
+    codecs (mp3/ogg/opus/aac) need torchaudio/ffmpeg — STUBBED behind
+    ``fake=True``.
     """
 
     def process(batches):
         import pandas as pd
+
+        from ..functions.flac_decode import decode_flac
 
         for batch in batches:
             rows = []
@@ -439,13 +443,14 @@ def decode_audio_features(assets: DataFrame, fake: bool = False) -> DataFrame:
                 if row.kind != "audio":
                     continue
                 payload = bytes(row.payload or b"")
-                decoded = decode_wav(payload)
+                decoded = decode_wav(payload) or decode_flac(payload)
                 if decoded is not None:
                     sample_rate, n_channels, duration_ms, rms, peak = decoded
                 elif not fake:
                     raise NotImplementedError(
-                        "non-WAV audio decoding requires torchaudio/ffmpeg — "
-                        "not available; pass fake=True for plumbing tests"
+                        "lossy-audio decoding (mp3/ogg/opus/aac) requires "
+                        "torchaudio/ffmpeg — not available; WAV and FLAC "
+                        "decode for real; pass fake=True for plumbing tests"
                     )
                 else:
                     # --- STUB: deterministic fake decode -------------------

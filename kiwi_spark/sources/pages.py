@@ -341,17 +341,20 @@ PAGES_SCHEMA = (
 )
 
 
-def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+def pages_df(spark, n: int, seed: int = 42, partitions: int | None = None,
+             start: int = 0):
     """Distributed generation: spark.range → mapInPandas, no shuffle.
 
     Each partition generates its index range independently (pure function of
     (seed, index)), so this scales to any corpus size with zero driver data.
+    ``start`` offsets the index range — disjoint ranges under the same seed
+    yield disjoint urls, the incremental-ingestion batch recipe.
     """
     if partitions is None:
         # oversplit 4× so downstream stage files stay small enough that every
         # core gets work even after parquet split packing
         partitions = max(4 * spark.sparkContext.defaultParallelism, 8)
-    base = spark.range(0, n, 1, partitions)
+    base = spark.range(start, start + n, 1, partitions)
 
     def gen(batches):
         import pandas as pd
