@@ -28,6 +28,7 @@ def main() -> int:
     parser.add_argument("--batch-start", type=int, default=400000)
     parser.add_argument("--batch-size", type=int, default=2000)
     parser.add_argument("--link-mode", default="parity")
+    parser.add_argument("--seed", type=int, default=42, help="page-world seed; a different seed gives a mostly-disjoint entity world (partial key overlap) — the batch-proportional case")
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -41,7 +42,7 @@ def main() -> int:
 
     cat = Catalog(args.warehouse)
     n_total = cat.read(spark, "id_map").count()
-    batch = pages_df(spark, args.batch_size, start=args.batch_start)
+    batch = pages_df(spark, args.batch_size, start=args.batch_start, seed=args.seed)
     result = incremental_add(
         spark, batch, args.warehouse, link_mode=args.link_mode
     )
@@ -51,6 +52,7 @@ def main() -> int:
                 "warehouse": args.warehouse,
                 "warehouse_entities": n_total,
                 "batch_pages": args.batch_size,
+                "batch_seed": args.seed,
                 "stages_run": result.stages_run,
                 "timings": result.timings,
                 "touched_entities": result.counts.get("touched_entities"),
