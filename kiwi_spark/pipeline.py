@@ -223,12 +223,16 @@ def run_pipeline(
     return result
 
 
+APPEND_COMPACT_AFTER = 16  # fast-append dirs per doc view before rewrite
+
+
 def incremental_add(
     spark: SparkSession,
     new_pages: DataFrame,
     warehouse: str,
     link_mode: str = "parity",
     n_buckets: int = 32,
+    compact_appends_after: int = APPEND_COMPACT_AFTER,
 ) -> PipelineResult:
     """Incremental ingestion — the reference's operating mode (new files
     arrive, process-file.ts runs per file, then the SQL cross-file dedupe
@@ -333,6 +337,27 @@ def incremental_add(
             _commit_search_index(cat, spark)
             result.timings["search_index"] = round(time.time() - started, 3)
             result.stages_run.append("search_index")
+
+    # small-files control (the 100 TB concern with per-batch fast-appends):
+    # once a doc-level view's snapshot references compact_appends_after
+    # data dirs, rewrite it as one clean snapshot — Iceberg's
+    # rewrite-data-files action, amortized to 1/N of batches. Compaction
+    # carries batch-id provenance forward, so retried batches still skip.
+    if compact_appends_after:
+        started = time.time()
+        compacted = []
+        for table in (
+            "text", "raw_graph", "units", "nodes_doc", "edges_doc",
+            "mentions_doc", "link_keys",
+        ):
+            snap = cat.current_snapshot(table) if cat.exists(table) else None
+            if snap and len(snap.get("dirs") or []) >= compact_appends_after:
+                cat.compact(spark, table)
+                compacted.append(table)
+        if compacted:
+            result.timings["compact"] = round(time.time() - started, 3)
+            result.counts["compacted_tables"] = len(compacted)
+            result.stages_run.append("compact")
 
     for table in ("nodes", "edges", "mentions"):
         result.counts[table] = cat.read(spark, table).count()

@@ -217,3 +217,39 @@ def test_mor_equality_deletes(spark, tmp_path):
     assert not (Catalog(str(tmp_path / "mor")).current_snapshot("t").get("deletes"))
     # provenance survives compaction → retried batches still skip
     assert cat.batch_appended("t", "x1") and cat.batch_appended("t", "x2")
+
+
+def test_append_chain_compaction(spark, tmp_path):
+    """Per-batch fast-appends grow the doc views' data-dir chains (the
+    small-files problem at scale); once a chain reaches the threshold,
+    incremental_add rewrites the view as one snapshot. Provenance
+    survives: retried batches still skip, and the graph still equals the
+    from-scratch run."""
+    wh_full = str(tmp_path / "full")
+    wh = str(tmp_path / "wh_cmp")
+    all_pages = pages_df(spark, 40, seed=17, partitions=4)
+    splits = [
+        all_pages.where(
+            (F.crc32(F.col("url")) % 4 == i)
+        )
+        for i in range(4)
+    ]
+    assert sum(s.count() for s in splits) == 40
+
+    run_pipeline(spark, all_pages, wh_full, collect_lineage=False)
+    run_pipeline(spark, splits[0], wh, collect_lineage=False)
+    results = [
+        incremental_add(spark, part, wh, compact_appends_after=3)
+        for part in splits[1:]
+    ]
+    cat = Catalog(wh)
+    # some batch pushed a chain to 3 dirs and triggered the rewrite; the
+    # chain never exceeds the threshold afterwards
+    assert any("compact" in r.stages_run for r in results)
+    assert len(cat.current_snapshot("text").get("dirs")) < 3
+    assert cat.read(spark, "text").count() == 40
+    # retrying the final batch after compaction must still be a no-op
+    retry = incremental_add(spark, splits[3], wh, compact_appends_after=3)
+    assert "text_append" in retry.stages_skipped
+
+    assert _graph_signature(spark, wh) == _graph_signature(spark, wh_full)

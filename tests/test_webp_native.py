@@ -110,3 +110,37 @@ def test_native_lossy_decode_through_multimodal(spark):
 def test_native_decode_luma_rejects_garbage():
     assert decode_luma(b"RIFF\x00\x00\x00\x00WEBPgarbage") is None
     assert decode_luma(b"") is None
+
+
+def test_vp8x_wrapped_lossless_decodes_from_spec():
+    """Real-world lossless files carrying metadata (EXIF/ICC) wrap the
+    VP8L stream in a VP8X container; the from-spec decoder's chunk walk
+    must reach the VP8L chunk behind VP8X/ICCP."""
+    import struct
+
+    w, h = 20, 10
+    rgba = bytes(
+        bytearray(
+            [(x * 37) % 256 for y in range(h) for x in range(w) for _ in range(4)]
+        )
+    )
+    enc = encode_lossless_rgba(rgba, w, h)
+    assert enc[12:16] == b"VP8L"
+    (size,) = struct.unpack_from("<I", enc, 16)
+    vp8l = enc[20 : 20 + size]
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    inner = (
+        chunk(b"VP8X", bytes([0x20, 0, 0, 0])
+              + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+        + chunk(b"ICCP", b"fakeprofile")
+        + chunk(b"VP8L", vp8l)
+    )
+    container = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+    got = decode_webp(container)
+    direct = decode_webp(enc)
+    assert got is not None and (got[0], got[1]) == (w, h)
+    assert np.allclose(np.asarray(got[2]), np.asarray(direct[2]))
