@@ -40,6 +40,17 @@ def main() -> int:
         help="also materialize the ranked-search index tables "
              "(entity/edge trigram postings + IVF cells)",
     )
+    parser.add_argument(
+        "--incremental", action="store_true",
+        help="fold the input pages into an EXISTING warehouse via the "
+             "delta relink (incremental_add) instead of a full run — the "
+             "reference's per-file operating mode",
+    )
+    parser.add_argument(
+        "--start", type=int, default=0,
+        help="with --synthesize + --incremental: index offset of the "
+             "batch (disjoint ranges under one seed ⇒ disjoint urls)",
+    )
     args = parser.parse_args()
 
     if not args.input and not args.synthesize:
@@ -70,18 +81,29 @@ def main() -> int:
     if args.input:
         pages = spark.read.parquet(os.path.join(args.input, "pages.parquet"))
     else:
-        pages = pages_df(spark, args.synthesize, seed=args.seed)
+        pages = pages_df(spark, args.synthesize, seed=args.seed, start=args.start)
 
     started = time.time()
-    result = run_pipeline(
-        spark,
-        pages,
-        args.warehouse,
-        link_mode=args.link_mode,
-        n_buckets=args.buckets,
-        resume=args.resume,
-        build_search_index=args.search_index,
-    )
+    if args.incremental:
+        from kiwi_spark.pipeline import incremental_add
+
+        result = incremental_add(
+            spark,
+            pages,
+            args.warehouse,
+            link_mode=args.link_mode,
+            n_buckets=args.buckets,
+        )
+    else:
+        result = run_pipeline(
+            spark,
+            pages,
+            args.warehouse,
+            link_mode=args.link_mode,
+            n_buckets=args.buckets,
+            resume=args.resume,
+            build_search_index=args.search_index,
+        )
     wall = time.time() - started
 
     n_edges = result.counts.get("edges", 0)
