@@ -83,9 +83,14 @@ def main() -> int:
     else:
         pages = pages_df(spark, args.synthesize, seed=args.seed, start=args.start)
 
+    if args.incremental and args.resume:
+        parser.error("--incremental batches are retry-idempotent by "
+                     "batch id; --resume only applies to full runs")
+
     started = time.time()
     if args.incremental:
-        from kiwi_spark.pipeline import incremental_add
+        from kiwi_spark.pipeline import _commit_search_index, incremental_add
+        from kiwi_spark.sources.catalog import Catalog
 
         result = incremental_add(
             spark,
@@ -94,6 +99,14 @@ def main() -> int:
             link_mode=args.link_mode,
             n_buckets=args.buckets,
         )
+        # incremental maintains an existing index; --search-index on an
+        # unindexed warehouse means "index it now"
+        cat = Catalog(args.warehouse)
+        if args.search_index and not cat.exists("entity_trigrams"):
+            t0 = time.time()
+            _commit_search_index(cat, spark)
+            result.timings["search_index"] = round(time.time() - t0, 3)
+            result.stages_run.append("search_index")
     else:
         result = run_pipeline(
             spark,

@@ -185,15 +185,15 @@ def extract_drawing_edges(content: bytes, page_height: float) -> list[dict]:
             if current is not None and subpath_start is not None:
                 segments.append((current, subpath_start, "line"))
                 current = subpath_start
-        elif op in (b"S", b"f", b"F", b"B"):
+        elif op in (b"S", b"f", b"F", b"f*", b"B", b"B*"):
             flush()
             current = subpath_start = None
-        elif op in (b"s", b"b"):
+        elif op in (b"s", b"b", b"b*"):
             if current is not None and subpath_start is not None:
                 segments.append((current, subpath_start, "line"))
             flush()
             current = subpath_start = None
-        elif op in (b"n", b"W"):
+        elif op in (b"n", b"W", b"W*"):
             segments, rects = [], []
             current = subpath_start = None
         elif op == b"BT":

@@ -695,17 +695,27 @@ def extract_content_text(content: bytes, fonts: dict | None = None,
         if joined.strip():
             lines.append(joined)
     if table_md:
+        # a sentinel may share its assembled line with a same-baseline run
+        # (e.g. a caption within 1pt of the table top) — split around every
+        # sentinel occurrence so neither the NUL marker leaks nor the
+        # table is lost
+        sentinel_re = re.compile("\x00TBL\\d+\x00")
         expanded: list[str] = []
         for line in lines:
-            stripped = line.strip()
-            if stripped in table_md:
-                # blank-line fenced so the pipe table stands as a block
-                if expanded and expanded[-1] != "":
-                    expanded.append("")
-                expanded.append(table_md[stripped])
-                expanded.append("")
-            else:
+            if "\x00TBL" not in line:
                 expanded.append(line)
+                continue
+            pieces = sentinel_re.split(line)
+            markers = sentinel_re.findall(line)
+            for i, piece in enumerate(pieces):
+                if piece.strip():
+                    expanded.append(piece)
+                if i < len(markers):
+                    # blank-line fenced so the pipe table stands as a block
+                    if expanded and expanded[-1] != "":
+                        expanded.append("")
+                    expanded.append(table_md.get(markers[i], ""))
+                    expanded.append("")
         while expanded and expanded[-1] == "":
             expanded.pop()
         lines = expanded
@@ -741,9 +751,6 @@ def _page_box(page_body: bytes,
         body = objects[pnum][0]
 
 
-def _page_width(page_body: bytes,
-                objects: dict[int, tuple[bytes, bytes | None]]) -> float:
-    return _page_box(page_body, objects)[0]
 
 
 def pdf_to_text(data: bytes) -> str:

@@ -48,6 +48,18 @@ matchers are pure key equalities — link.py ``_with_keys``):
    (min/min_by/max/sum), the delta aggregation over touched doc-edges is
    complete — no subtraction from old aggregates is ever needed.
 
+A fourth invariant the fuzzy closure additionally leans on: blocking is
+SOUND for star edges — any pair the star construction can emit (shared
+non-acronym key, or member × acronym-shaped anchor through a shared A
+key) satisfies ``are_duplicates``, so ``verify_pairs`` rejects nothing,
+an active bucket is always one connected component, and the anchor
+re-chosen inside the delta subset links exactly the same components the
+global anchor did. Pinned by
+tests/test_linking.py::test_blocking_is_sound_for_star_edges; a future
+LOSSY key family (one where verify can reject) would invalidate this
+and require expanding the touched set to whole buckets of any shared
+key before this delta stays exact.
+
 Shuffle budget per batch: every groupBy/join in the delta path runs over
 O(new + touched) rows; the only O(total) work is (a) narrow semi/anti
 join filter scans of the doc-level views and old canonical tables (no
@@ -128,7 +140,6 @@ def touched_entity_ids(
 class DeltaStats:
     n_touched_entities: int = 0
     n_touched_doc_edges: int = 0
-    n_touched_mentions: int = 0
     n_delta_nodes: int = 0
     n_delta_edges: int = 0
     timings: dict = field(default_factory=dict)
@@ -284,8 +295,27 @@ def delta_relink(
         delta_search_index(spark, cat, e_t, batch_id, edge_index_mask)
         stats.timings["search_index"] = round(_time.time() - t0, 3)
 
-    stats.n_delta_nodes = nodes_delta.count()
-    stats.n_delta_edges = edges_delta.count()
+    # stats from the COMMITTED tables (delta rows ≡ rows with a touched
+    # id, closure property 2) — counting nodes_delta/edges_delta directly
+    # would re-execute the whole delta DAG including the fold UDF
+    nodes_now = cat.read(spark, "nodes")
+    stats.n_delta_nodes = nodes_now.join(e_t, "entity_id", "leftsemi").count()
+    edges_now = cat.read(spark, "edges")
+    stats.n_delta_edges = (
+        edges_now.join(
+            e_t.withColumnRenamed("entity_id", "src_id"), "src_id", "leftsemi"
+        )
+        .select("edge_id")
+        .unionByName(
+            edges_now.join(
+                e_t.withColumnRenamed("entity_id", "dst_id"),
+                "dst_id",
+                "leftsemi",
+            ).select("edge_id")
+        )
+        .distinct()
+        .count()
+    )
     return stats
 
 

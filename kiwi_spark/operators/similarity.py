@@ -118,13 +118,18 @@ def ivf_build(embeddings: DataFrame, n_cells: int = 16, seed: int = 5,
                 prev = acc.get(int(c), (np.zeros(dim), 0))
                 acc[int(c)] = (prev[0] + vecs[mask].sum(axis=0),
                                prev[1] + int(mask.sum()))
-        yield pd.DataFrame(
-            {
-                "cell": list(acc.keys()),
-                "s": [s.tolist() for s, _ in acc.values()],
-                "n": [n for _, n in acc.values()],
-            }
-        )
+        # an EMPTY partition must yield nothing: pd.DataFrame({"s": []})
+        # defaults the column to float64, which Arrow cannot convert to
+        # list<double> (empty scan partitions happen whenever a snapshot
+        # carries zero-row files — e.g. a delta-committed union write)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cell": list(acc.keys()),
+                    "s": [s.tolist() for s, _ in acc.values()],
+                    "n": [n for _, n in acc.values()],
+                }
+            )
 
     for _ in range(lloyd_iters):
         assigned = _assign_cells(embeddings, cents, vec_col)

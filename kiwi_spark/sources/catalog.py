@@ -68,7 +68,8 @@ class Catalog:
     # -- commit / read -----------------------------------------------------
     def commit(self, df, table: str, stage: str | None = None,
                append: bool = False, batch_id: str | None = None,
-               delete_keys=None, delete_on: list[str] | None = None) -> dict:
+               delete_keys=None, delete_on: list[str] | None = None,
+               batch_ids: list[str] | None = None) -> dict:
         """Write df as the next snapshot of `table`, then flip the manifest.
 
         ``append=True`` writes only df's rows into the new snapshot dir and
@@ -126,6 +127,8 @@ class Catalog:
             snap["deletes"] = deletes
         if batch_id is not None:
             snap["batch_id"] = batch_id
+        if batch_ids:
+            snap["batch_ids"] = sorted(batch_ids)
         manifest["snapshots"].append(snap)
         manifest["current"] = next_id
         tmp = self._manifest_path(table) + ".tmp"
@@ -200,8 +203,11 @@ class Catalog:
         """Rewrite the table's merged view as one clean snapshot — the
         Iceberg rewrite-data-files action that bounds MOR read
         amplification. Call after every N incremental batches. Batch-id
-        provenance of the compacted-away snapshots is carried forward so
-        ``batch_appended`` stays truthful across compaction."""
+        provenance of the compacted-away snapshots is carried forward IN
+        THE SAME atomic manifest flip as the rewrite, so a crash can
+        never leave a current snapshot that has forgotten which batches
+        are live (``batch_appended`` would otherwise double-append on
+        retry)."""
         manifest = self._read_manifest(table) or {"snapshots": []}
         cur = self.current_snapshot(table)
         live = set((cur.get("dirs") or [cur["dir"]])) if cur else set()
@@ -214,17 +220,10 @@ class Catalog:
                 + list(s.get("batch_ids") or [])
             }
         )
-        snap = self.commit(self.read(spark, table), table, stage=stage)
-        if lineage_ids:
-            manifest = self._read_manifest(table)
-            entry = next(s for s in manifest["snapshots"] if s["id"] == snap["id"])
-            entry["batch_ids"] = lineage_ids
-            tmp = self._manifest_path(table) + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh, indent=2)
-            os.replace(tmp, self._manifest_path(table))
-            snap = entry
-        return snap
+        return self.commit(
+            self.read(spark, table), table, stage=stage,
+            batch_ids=lineage_ids or None,
+        )
 
     def drop(self, table: str) -> None:
         target = os.path.join(self.warehouse, table)

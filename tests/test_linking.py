@@ -4,6 +4,8 @@ respect to the pairwise predicate."""
 
 import random
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -12,6 +14,7 @@ from kiwi_spark.functions.linking import (
     are_duplicates,
     blocking_keys,
     compact_name_key,
+    is_acronym_token,
     tokenize,
     union_find_groups,
 )
@@ -124,3 +127,48 @@ def test_batch_predicate_empty_batch():
     from kiwi_spark.functions.linking import are_duplicates_batch
 
     assert list(are_duplicates_batch([], [], [], [])) == []
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_blocking_is_sound_for_star_edges(seed):
+    """Converse of losslessness — and the invariant the DELTA relink's
+    closure proof additionally needs (operators/delta_link.py): every
+    candidate pair the star-edge construction can emit — two same-type
+    entities sharing a non-acronym key, or any member paired with an
+    ACRONYM-SHAPED entity through a shared A key — satisfies
+    are_duplicates. Hence verify_pairs rejects nothing, an active bucket
+    is always one component, and anchor choice (global minimum or
+    delta-subset minimum) cannot change the component structure.
+
+    Entities whose BUILT acronyms merely collide (e.g. ALPHA BETA /
+    AZURE BAY → A:AB) share a key but are NOT an emittable pair unless
+    one side is itself acronym-shaped — the asymmetric dedupe.ts rule —
+    so no soundness obligation arises there (and indeed the predicate
+    rejects them)."""
+    rng = random.Random(1000 + seed)
+    entities = [(_random_name(rng), "ORGANIZATION") for _ in range(10)]
+    entities += [
+        ("ALPHA BETA", "ORGANIZATION"),       # built acronym AB
+        ("AZURE BAY", "ORGANIZATION"),        # built acronym AB (collision)
+        ("AB", "ORGANIZATION"),               # acronym-shaped token
+        ("ALPHA BETA CORP", "ORGANIZATION"),  # suffix family
+        ("A B", "ORGANIZATION"),
+        ("ALICE SMITH", "PERSON"),
+        ("ALICE MARIE SMITH", "PERSON"),
+    ]
+    for i in range(len(entities)):
+        for j in range(len(entities)):
+            if i == j:
+                continue
+            a, ta = entities[i]
+            b, tb = entities[j]
+            shared = set(blocking_keys(a, ta)) & set(blocking_keys(b, tb))
+            if not shared:
+                continue
+            non_acr = {k for k in shared if not k.split("\x00")[1].startswith("A:")}
+            if non_acr:
+                assert are_duplicates(a, ta, b, tb), (a, b, non_acr)
+            elif is_acronym_token(tokenize(b)):
+                # A-key-only overlap with an acronym-shaped anchor side:
+                # exactly the member→anchor edges blocking_edges emits
+                assert are_duplicates(a, ta, b, tb), (a, b, shared)

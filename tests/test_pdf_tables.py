@@ -137,3 +137,31 @@ def test_cm_transform_applies_to_edges():
     assert xs == [110.0, 210.0]
     tops = sorted({round(e["top"], 1) for e in edges if e["orient"] == "h"})
     assert tops == [round(H - 650, 1), round(H - 620, 1)]
+
+
+def test_even_odd_fill_operators_flush_edges():
+    """f*/B*/b* painted grids (common producer output) must flush their
+    rectangles as edges — and n must discard the pending path."""
+    content = b"100 600 100 30 re 100 630 100 30 re f*"
+    edges = extract_drawing_edges(content, H)
+    assert len([e for e in edges if e["orient"] == "h"]) == 4
+    # b* closes and paints
+    content = b"100 600 m 200 600 l 200 630 l 100 630 l b*"
+    edges = extract_drawing_edges(content, H)
+    assert len(edges) == 4  # three drawn + the closing segment
+    # n = no-op painting: nothing flushed
+    assert extract_drawing_edges(b"100 600 100 30 re n", H) == []
+
+
+def test_sentinel_sharing_a_line_with_caption_run():
+    """A run whose baseline falls within 1pt of the table top merges into
+    the sentinel's assembled line; the expansion must still emit both the
+    text and the pipe table, never the raw NUL sentinel."""
+    stream = (
+        _grid_stream()
+        + " BT /F1 12 Tf 420 690 Td (SIDE NOTE) Tj ET"
+    )
+    text = pdf_to_text(make_pdf([stream]))
+    assert "\x00" not in text
+    assert "SIDE NOTE" in text
+    assert "| Name | Qty | Price |" in text

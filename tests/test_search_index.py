@@ -313,3 +313,25 @@ def test_auto_routing_parity_and_fallback(spark, tmp_path):
         _rows(search_relationships_auto(spark, cat, edges, nodes, term))
         == expected_r
     )
+
+
+def test_ivf_build_survives_empty_scan_partitions(spark, tmp_path):
+    """A snapshot with zero-row files (delta-committed union writes
+    produce them) must not break the IVF Lloyd pass: an empty partition
+    yielding pd.DataFrame({'s': []}) defaults to float64, which Arrow
+    cannot convert to list<double> — the partial-sum generator must yield
+    nothing instead."""
+    from kiwi_spark.operators.similarity import ivf_build
+
+    path = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(
+        [(f"v{i}", [float(i), float(i % 3), 1.0]) for i in range(7)],
+        "entity_id string, embedding array<float>",
+    ).repartition(5).write.parquet(path)
+    # repartition(5) over 7 rows writes some empty files; make sure at
+    # least one zero-row split survives the read
+    df = spark.read.parquet(path)
+    assigned, cents = ivf_build(
+        df, n_cells=3, id_col="entity_id", vec_col="embedding"
+    )
+    assert assigned.count() == 7 and len(cents) == 3
