@@ -110,6 +110,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
         )
 
+    def q7_nation_flows(spark, sf):
+        """TPC-H Q7-shaped: revenue shipped between distinct
+        (supplier-nation, customer-nation) pairs — a 4-way fact join with
+        BOTH nation dimensions broadcast (two tiny dims, one shuffle
+        family on the fact keys)."""
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        n = _t(spark, sf, "nation")
+        supp_n = n.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+        cust_n = n.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(supp_n), s["s_nationkey"] == F.col("sn_key"))
+            .join(F.broadcast(cust_n), c["c_nationkey"] == F.col("cn_key"))
+            .where(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+            .orderBy(F.desc("revenue"), "supp_nation", "cust_nation")
+            .limit(20)
+        )
+
+    def events_rollup(spark, sf):
+        """ROLLUP(event_type, hour-of-day) — the Expand-operator
+        aggregation shape (subtotals + grand total in one pass)."""
+        e = _t(spark, sf, "events")
+        return (
+            e.withColumn("hour_of_day", F.hour("ts"))
+            .rollup("event_type", "hour_of_day")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.round(F.sum("value"), 6), 2).alias("sum_value"),
+            )
+            .orderBy(
+                F.asc_nulls_first("event_type"), F.asc_nulls_first("hour_of_day")
+            )
+        )
+
     def q5_nation_volume(spark, sf):
         c = _t(spark, sf, "customer")
         o = _t(spark, sf, "orders")
@@ -345,6 +395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_nation_volume": q5_nation_volume,
+        "q7_nation_flows": q7_nation_flows,
+        "events_rollup": events_rollup,
         "top_orders_per_customer": top_orders_per_customer,
         "orders_with_returns_by_priority": orders_with_returns_by_priority,
         "brand_revenue": brand_revenue,
@@ -493,6 +545,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey AND r_name = 'EUROPE'
             GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+        """,
+        "q7_nation_flows": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name <> cn.n_name
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, supp_nation, cust_nation
+            LIMIT 20
+        """,
+        "events_rollup": """
+            SELECT event_type, hour(ts) AS hour_of_day,
+                   count(*) AS n_events,
+                   round(round(sum(value), 6), 2) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, hour(ts))
+            ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST
         """,
         "top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn

@@ -270,3 +270,20 @@ def test_delta_copy_through_is_broadcast_anti_join(spark, tmp_path):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q7_broadcasts_both_nation_dims(spark):
+    import __spark_entry__ as entrymod
+
+    plan = _simple_plan(entrymod.queries()["q7_nation_flows"](spark, SF_DIR))
+    # two broadcast exchanges (supplier-nation and customer-nation legs),
+    # and the top-k is a TakeOrderedAndProject, not a global sort
+    assert plan.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_events_rollup_uses_expand(spark):
+    import __spark_entry__ as entrymod
+
+    plan = _simple_plan(entrymod.queries()["events_rollup"](spark, SF_DIR))
+    assert "Expand" in plan  # one-pass grouping-sets execution
