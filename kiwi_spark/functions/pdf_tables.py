@@ -486,6 +486,60 @@ def extract_rows_text(cells, runs, page_height):
 
 
 # --------------------------------------------------------------------------
+# 5b. row tidying + tabular-density gate (table.ts:2136-2239, scoped)
+# --------------------------------------------------------------------------
+
+def pad_rows(rows):
+    width = max((len(r) for r in rows), default=0)
+    return [list(r) + [None] * (width - len(r)) for r in rows]
+
+
+def remove_empty_columns(rows):
+    """Drop columns that are empty in every row (spacer/rule columns) —
+    table.ts removeEmptyTableColumns."""
+    if not rows:
+        return rows
+    width = max(len(r) for r in rows)
+    keep = [
+        c
+        for c in range(width)
+        if any((r[c] if c < len(r) else None) or "" for r in rows)
+        and any(((r[c] if c < len(r) else None) or "").strip() for r in rows)
+    ]
+    return [[(r[c] if c < len(r) else None) for c in keep] for r in rows]
+
+
+def is_likely_tabular(rows, max_cols=MAX_COLS, min_cell_density=0.03):
+    """table.ts tableIsLikelyTabular — rejects boxed prose masquerading
+    as a grid: needs ≥2 rows/cols, a minimum filled-cell density, and no
+    single cell carrying ≥85% of all characters when almost everything
+    else is empty."""
+    if len(rows) < 2:
+        return False
+    n_cols = max((len(r) for r in rows), default=0)
+    if n_cols < 2 or n_cols > max_cols:
+        return False
+    non_empty = 0
+    total_chars = 0
+    max_chars = 0
+    for row in rows:
+        for c in range(n_cols):
+            text = re.sub(r"\s+", " ", (row[c] if c < len(row) else None) or "").strip()
+            if not text:
+                continue
+            non_empty += 1
+            total_chars += len(text)
+            max_chars = max(max_chars, len(text))
+    if non_empty < 2:
+        return False
+    if non_empty / (len(rows) * n_cols) < min_cell_density:
+        return False
+    if non_empty <= 2 and total_chars > 0 and max_chars >= total_chars * 0.85:
+        return False
+    return True
+
+
+# --------------------------------------------------------------------------
 # 6. markdown (table.ts:2095-2133)
 # --------------------------------------------------------------------------
 
@@ -565,7 +619,11 @@ def detect_tables(content: bytes, runs, page_height: float) -> list[dict]:
     )
     out = []
     for cells in tables:
-        rows = extract_rows_text(cells, runs, page_height)
+        rows = remove_empty_columns(
+            pad_rows(extract_rows_text(cells, runs, page_height))
+        )
+        if not is_likely_tabular(rows):
+            continue
         markdown = rows_to_markdown(rows)
         if not markdown:
             continue

@@ -165,3 +165,38 @@ def test_sentinel_sharing_a_line_with_caption_run():
     assert "\x00" not in text
     assert "SIDE NOTE" in text
     assert "| Name | Qty | Price |" in text
+
+
+def test_spacer_column_dropped():
+    """A grid with an all-empty middle column (spacer rule) renders
+    without the empty column (table.ts removeEmptyTableColumns)."""
+    lines = []
+    for x in (100, 200, 220, 320):   # narrow empty gutter 200-220
+        lines.append(f"{x} 600 m {x} 660 l S")
+    for y in (600, 630, 660):
+        lines.append(f"100 {y} m 320 {y} l S")
+    text = (
+        "BT /F1 12 Tf 110 640 Td (Name) Tj ET "
+        "BT /F1 12 Tf 230 640 Td (Qty) Tj ET "
+        "BT /F1 12 Tf 110 610 Td (Widget) Tj ET "
+        "BT /F1 12 Tf 230 610 Td (7) Tj ET "
+    )
+    stream = " ".join(lines) + " " + text
+    out = pdf_to_text(make_pdf([stream]))
+    assert "| Name | Qty |" in out
+    assert "|  |" not in out
+
+
+def test_boxed_prose_rejected_by_density_gate():
+    """A 2×2 decorative grid where one cell holds ALL the text (boxed
+    prose) must NOT render as a table (tableIsLikelyTabular's dominant-
+    cell rule) — the text flows as normal lines instead."""
+    lines = []
+    for x in (100, 250, 400):
+        lines.append(f"{x} 600 m {x} 690 l S")
+    for y in (600, 645, 690):
+        lines.append(f"100 {y} m 400 {y} l S")
+    text = "BT /F1 12 Tf 110 660 Td (A long paragraph of boxed prose text here) Tj ET"
+    out = pdf_to_text(make_pdf([" ".join(lines) + " " + text]))
+    assert "|" not in out
+    assert "A long paragraph of boxed prose" in out
