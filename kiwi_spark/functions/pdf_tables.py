@@ -489,31 +489,27 @@ def extract_rows_text(cells, runs, page_height):
 # 5b. row tidying + tabular-density gate (table.ts:2136-2239, scoped)
 # --------------------------------------------------------------------------
 
-def pad_rows(rows):
-    width = max((len(r) for r in rows), default=0)
-    return [list(r) + [None] * (width - len(r)) for r in rows]
-
-
 def remove_empty_columns(rows):
-    """Drop columns that are empty in every row (spacer/rule columns) —
-    table.ts removeEmptyTableColumns."""
+    """Drop columns with no non-whitespace content in any row
+    (spacer/rule columns) — table.ts removeEmptyTableColumns. Rows from
+    ``extract_rows_text`` are uniform width (the grid spans the union of
+    column x0s)."""
     if not rows:
         return rows
-    width = max(len(r) for r in rows)
     keep = [
         c
-        for c in range(width)
-        if any((r[c] if c < len(r) else None) or "" for r in rows)
-        and any(((r[c] if c < len(r) else None) or "").strip() for r in rows)
+        for c in range(len(rows[0]))
+        if any((r[c] or "").strip() for r in rows)
     ]
-    return [[(r[c] if c < len(r) else None) for c in keep] for r in rows]
+    return [[r[c] for c in keep] for r in rows]
 
 
 def is_likely_tabular(rows, max_cols=MAX_COLS, min_cell_density=0.03):
     """table.ts tableIsLikelyTabular — rejects boxed prose masquerading
     as a grid: needs ≥2 rows/cols, a minimum filled-cell density, and no
     single cell carrying ≥85% of all characters when almost everything
-    else is empty."""
+    else is empty (the dominant-cell rule — defense in depth here, since
+    rows_to_markdown's header requirement also rejects those shapes)."""
     if len(rows) < 2:
         return False
     n_cols = max((len(r) for r in rows), default=0)
@@ -523,8 +519,8 @@ def is_likely_tabular(rows, max_cols=MAX_COLS, min_cell_density=0.03):
     total_chars = 0
     max_chars = 0
     for row in rows:
-        for c in range(n_cols):
-            text = re.sub(r"\s+", " ", (row[c] if c < len(row) else None) or "").strip()
+        for cell in row:
+            text = re.sub(r"\s+", " ", cell or "").strip()
             if not text:
                 continue
             non_empty += 1
@@ -619,9 +615,7 @@ def detect_tables(content: bytes, runs, page_height: float) -> list[dict]:
     )
     out = []
     for cells in tables:
-        rows = remove_empty_columns(
-            pad_rows(extract_rows_text(cells, runs, page_height))
-        )
+        rows = remove_empty_columns(extract_rows_text(cells, runs, page_height))
         if not is_likely_tabular(rows):
             continue
         markdown = rows_to_markdown(rows)

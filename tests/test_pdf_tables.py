@@ -189,8 +189,9 @@ def test_spacer_column_dropped():
 
 def test_boxed_prose_rejected_by_density_gate():
     """A 2×2 decorative grid where one cell holds ALL the text (boxed
-    prose) must NOT render as a table (tableIsLikelyTabular's dominant-
-    cell rule) — the text flows as normal lines instead."""
+    prose) must NOT render as a table — here the empty-column drop
+    collapses it below 2 columns; the dominant-cell rule itself is
+    unit-tested below — and the text flows as normal lines instead."""
     lines = []
     for x in (100, 250, 400):
         lines.append(f"{x} 600 m {x} 690 l S")
@@ -200,3 +201,21 @@ def test_boxed_prose_rejected_by_density_gate():
     out = pdf_to_text(make_pdf([" ".join(lines) + " " + text]))
     assert "|" not in out
     assert "A long paragraph of boxed prose" in out
+
+
+def test_is_likely_tabular_rules_direct():
+    from kiwi_spark.functions.pdf_tables import is_likely_tabular
+
+    # dominant-cell rule: 2 filled cells, one carrying >=85% of chars
+    assert not is_likely_tabular(
+        [["A very long paragraph of prose living in one cell", None],
+         [None, "x"]]
+    )
+    # same shape with balanced content passes
+    assert is_likely_tabular([["alpha", None], [None, "bravo"]])
+    # density floor: 1 filled cell in a 3x4 grid (< 2 non-empty)
+    assert not is_likely_tabular(
+        [["x", None, None, None], [None] * 4, [None] * 4]
+    )
+    # ordinary dense grid passes
+    assert is_likely_tabular([["a", "b"], ["c", "d"]])
