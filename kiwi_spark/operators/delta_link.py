@@ -64,10 +64,15 @@ Shuffle budget per batch: every groupBy/join in the delta path runs over
 O(new + touched) rows; the only O(total) work is (a) narrow semi/anti
 join filter scans of the doc-level views and old canonical tables (no
 shuffle of the big side — the touched side broadcasts under AQE) and
-(b) the copy-through write. The search-index tables avoid even the
-copy-through write via merge-on-read equality-delete commits
-(sources.catalog), bounding index commits to O(touched) rows — the
-GIN/DiskANN per-row update analog.
+(b) narrow merge-on-read anti-joins at read time. ALL mutated tables —
+id_map, nodes, edges, mentions and the five search-index tables — are
+updated with merge-on-read equality-delete commits (sources.catalog):
+the written bytes per batch are O(touched), the masked old rows stay in
+earlier snapshots and drop out during reads via broadcast anti-joins on
+the closure-property-2 predicates, and the auto-compaction in
+``incremental_add`` periodically rewrites each table to restore bucket
+clustering and bound the delete chain — the GIN/DiskANN per-row update
+analog, with Iceberg rewrite-data-files as the maintenance story.
 """
 
 from __future__ import annotations
@@ -177,7 +182,10 @@ def delta_relink(
     stats.n_touched_entities = e_t.count()
     stats.timings["touched"] = round(_time.time() - t0, 3)
 
-    # --- id_map: copy-through ∪ recomputed touched mapping ---------------
+    # --- id_map: merge-on-read delta commit (append recomputed touched
+    # mapping + equality-delete the touched ids from earlier snapshots) —
+    # O(touched) written bytes, the copy-through happens at read time as
+    # a broadcast anti-join
     t0 = _time.time()
     touched_nodes_doc = (
         cat.read(spark, "nodes_doc")
@@ -187,12 +195,11 @@ def delta_relink(
     delta_map = entity_id_map(touched_nodes_doc, mode=link_mode).localCheckpoint(
         eager=False
     )
-    old_id_map = cat.read(spark, "id_map")
-    cat.commit(
-        _anti(old_id_map, e_t, "entity_id").unionByName(delta_map),
-        "id_map",
-        stage="deduplicating",
-    )
+    if not cat.batch_appended("id_map", batch_id):
+        cat.commit(
+            delta_map, "id_map", stage="deduplicating", append=True,
+            batch_id=batch_id, delete_sets=[(e_t, ["entity_id"])],
+        )
     id_map_new = cat.read(spark, "id_map")
     stats.timings["id_map"] = round(_time.time() - t0, 3)
 
@@ -232,11 +239,9 @@ def delta_relink(
     )
     stats.timings["delta_compute"] = round(_time.time() - t0, 3)
 
-    # --- canonical tables: anti(deletion predicate) ∪ materialized delta -
+    # --- canonical tables: merge-on-read delta commits -------------------
     t0 = _time.time()
-    nodes_old = cat.read(spark, "nodes")
     edges_old = cat.read(spark, "edges")
-    mentions_old = cat.read(spark, "mentions")
 
     # edge-index mask (consumed after the commit below): old canonical
     # edge ids with a touched endpoint — including ids of groups that
@@ -259,27 +264,45 @@ def delta_relink(
         .distinct()
     )
 
-    nodes_new = _anti(nodes_old, e_t, "entity_id").unionByName(
-        materialize_nodes(nodes_delta, n_buckets)
-    )
-    edges_new = _anti(_anti(edges_old, e_t, "src_id"), e_t, "dst_id").unionByName(
-        materialize_edges(edges_delta, n_buckets)
-    )
-    mentions_new = (
-        _anti(mentions_old, e_t, "entity_id")
-        .join(touched_edge_ids, "edge_id", "leftanti")
-        .unionByName(materialize_mentions(mentions_delta, n_buckets))
-    )
-    from ..pipeline import _parallel_commits
+    # merge-on-read commits: append the materialized delta rows, mask the
+    # touched rows of earlier snapshots with equality deletes (closure
+    # property 2 predicates) — written bytes are O(touched), and the
+    # copy-through moves to read time as broadcast anti-joins. Cost
+    # traded: between compactions the bucket clustering / compact_key
+    # row-group stats only hold within each snapshot's files (the
+    # auto-compaction in incremental_add restores them).
+    from concurrent.futures import ThreadPoolExecutor
 
-    _parallel_commits(
-        cat,
-        [
-            (nodes_new, "nodes", "saving"),
-            (edges_new, "edges", "saving"),
-            (mentions_new, "mentions", "saving"),
-        ],
-    )
+    e_t_src = e_t.withColumnRenamed("entity_id", "src_id")
+    e_t_dst = e_t.withColumnRenamed("entity_id", "dst_id")
+    mor_jobs = [
+        (
+            "nodes",
+            materialize_nodes(nodes_delta, n_buckets),
+            [(e_t, ["entity_id"])],
+        ),
+        (
+            "edges",
+            materialize_edges(edges_delta, n_buckets),
+            [(e_t_src, ["src_id"]), (e_t_dst, ["dst_id"])],
+        ),
+        (
+            "mentions",
+            materialize_mentions(mentions_delta, n_buckets),
+            [(e_t, ["entity_id"]), (touched_edge_ids, ["edge_id"])],
+        ),
+    ]
+
+    def _mor_commit(job):
+        table, df, delete_sets = job
+        if not cat.batch_appended(table, batch_id):
+            cat.commit(
+                df, table, stage="saving", append=True, batch_id=batch_id,
+                delete_sets=delete_sets,
+            )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_mor_commit, mor_jobs))
     stats.timings["commit"] = round(_time.time() - t0, 3)
 
     # --- link_keys: fast-append the batch's key rows ---------------------

