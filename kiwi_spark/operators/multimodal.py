@@ -45,6 +45,52 @@ FRAME_SAMPLE_SCHEMA = (
     "asset_id string, frame_index int, ts_ms long, frame binary"
 )
 
+VIDEO_METADATA_SCHEMA = (
+    "asset_id string, container string, width int, height int, "
+    "duration_ms long"
+)
+
+
+def probe_video_metadata(assets: DataFrame) -> DataFrame:
+    """video → (container, width, height, duration_ms) parsed from the
+    CONTAINER structure (functions.video_meta: ISO-BMFF box walk, EBML
+    element walk) — real triage metadata with no codec dependency.
+    Unparseable payloads emit a row with NULL fields (they are still
+    assets; downstream filters decide). Frame CONTENT features remain
+    behind ``sample_video_frames``'s documented stub."""
+
+    def process(batches):
+        import pandas as pd
+
+        from ..functions.video_meta import probe_video
+
+        for batch in batches:
+            rows = []
+            for row in batch.itertuples(index=False):
+                if row.kind != "video":
+                    continue
+                probed = probe_video(bytes(row.payload or b""))
+                container, width, height, duration_ms = probed or (
+                    None, None, None, None
+                )
+                rows.append(
+                    {
+                        "asset_id": row.asset_id,
+                        "container": container,
+                        "width": width,
+                        "height": height,
+                        "duration_ms": duration_ms,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "container", "width", "height", "duration_ms",
+                ],
+            )
+
+    return assets.mapInPandas(process, schema=VIDEO_METADATA_SCHEMA)
+
 
 def decode_bmp(payload: bytes):
     """Uncompressed 24-bit BMP → (width, height, luma ndarray) or None.
