@@ -50,6 +50,53 @@ VIDEO_METADATA_SCHEMA = (
     "duration_ms long"
 )
 
+AUDIO_METADATA_SCHEMA = (
+    "asset_id string, codec string, sample_rate int, n_channels int, "
+    "duration_ms long"
+)
+
+
+def probe_audio_metadata(assets: DataFrame) -> DataFrame:
+    """audio → (codec, sample_rate, n_channels, duration_ms) from the
+    FRAMING structure of compressed formats (functions.audio_meta: MP3
+    frame walk, Ogg page walk for Vorbis/Opus) — real triage metadata
+    with no codec dependency; amplitude features for these formats stay
+    behind ``decode_audio_features``'s documented stub. Unparseable
+    payloads emit NULL fields."""
+
+    def process(batches):
+        import pandas as pd
+
+        from ..functions.audio_meta import probe_audio
+
+        for batch in batches:
+            rows = []
+            for row in batch.itertuples(index=False):
+                if row.kind != "audio":
+                    continue
+                probed = probe_audio(bytes(row.payload or b""))
+                codec, rate, channels, duration_ms = probed or (
+                    None, None, None, None
+                )
+                rows.append(
+                    {
+                        "asset_id": row.asset_id,
+                        "codec": codec,
+                        "sample_rate": rate,
+                        "n_channels": channels,
+                        "duration_ms": duration_ms,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "codec", "sample_rate", "n_channels",
+                    "duration_ms",
+                ],
+            )
+
+    return assets.mapInPandas(process, schema=AUDIO_METADATA_SCHEMA)
+
 
 def probe_video_metadata(assets: DataFrame) -> DataFrame:
     """video → (container, width, height, duration_ms) parsed from the
