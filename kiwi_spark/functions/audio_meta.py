@@ -47,6 +47,34 @@ def _skip_id3(data: bytes) -> int:
     return 10 + size
 
 
+def _mp3_frame_at(data: bytes, pos: int):
+    """(frame_len, rate, samples, channels) for a valid Layer-III header
+    at ``pos`` whose frame fits in ``data``; None otherwise."""
+    if pos + 4 > len(data):
+        return None
+    b0, b1, b2, b3 = data[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 0x3            # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (b1 >> 1) & 0x3              # 1 = Layer III
+    if version == 1 or layer != 1:
+        return None
+    bitrate_idx = (b2 >> 4) & 0xF
+    rate_idx = (b2 >> 2) & 0x3
+    padding = (b2 >> 1) & 0x1
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return None
+    table = _MP3_BITRATES_V1_L3 if version == 3 else _MP3_BITRATES_V2_L3
+    bitrate = table[bitrate_idx] * 1000
+    rate = _MP3_RATES[version][rate_idx]
+    samples = 1152 if version == 3 else 576
+    frame_len = samples // 8 * bitrate // rate + padding
+    if frame_len <= 4 or pos + frame_len > len(data):
+        return None
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    return frame_len, rate, samples, channels
+
+
 def probe_mp3(data: bytes):
     pos = _skip_id3(data)
     n_frames = 0
@@ -54,35 +82,23 @@ def probe_mp3(data: bytes):
     rate = None
     channels = None
     while pos + 4 <= len(data):
-        b0, b1, b2, b3 = data[pos : pos + 4]
-        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        frame = _mp3_frame_at(data, pos)
+        if frame is None:
             if n_frames:
-                break  # trailing garbage / tag after valid frames
-            pos += 1
+                break  # trailing garbage / tag after a valid frame run
+            pos += 1   # resync through leading junk
             continue
-        version = (b1 >> 3) & 0x3        # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-        layer = (b1 >> 1) & 0x3          # 1 = Layer III
-        if version == 1 or layer != 1:
-            if n_frames:
-                break
-            pos += 1
-            continue
-        bitrate_idx = (b2 >> 4) & 0xF
-        rate_idx = (b2 >> 2) & 0x3
-        padding = (b2 >> 1) & 0x1
-        if bitrate_idx in (0, 15) or rate_idx == 3:
-            if n_frames:
-                break
-            pos += 1
-            continue
-        table = _MP3_BITRATES_V1_L3 if version == 3 else _MP3_BITRATES_V2_L3
-        bitrate = table[bitrate_idx] * 1000
-        rate = _MP3_RATES[version][rate_idx]
-        samples = 1152 if version == 3 else 576
-        frame_len = samples // 8 * bitrate // rate + padding
-        if frame_len <= 4 or pos + frame_len > len(data):
-            break
-        channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+        frame_len, frame_rate, samples, frame_channels = frame
+        if n_frames == 0:
+            # a lone sync word is 11 bits of noise away from random
+            # bytes — only anchor the walk where the implied NEXT frame
+            # also starts with a valid header (or the frame ends the
+            # buffer), the standard false-sync rejection
+            nxt = pos + frame_len
+            if nxt < len(data) and _mp3_frame_at(data, nxt) is None:
+                pos += 1
+                continue
+        rate, channels = frame_rate, frame_channels
         n_frames += 1
         total_samples += samples
         pos += frame_len
@@ -97,6 +113,7 @@ def _ogg_pages(data: bytes):
         if data[pos : pos + 4] != b"OggS":
             return
         (granule,) = struct.unpack_from("<q", data, pos + 6)
+        (serial,) = struct.unpack_from("<I", data, pos + 14)
         n_segs = data[pos + 26]
         if pos + 27 + n_segs > len(data):
             return
@@ -105,42 +122,59 @@ def _ogg_pages(data: bytes):
         body_len = sum(lacing)
         if body_start + body_len > len(data):
             return
-        yield granule, data[body_start : body_start + body_len]
+        yield serial, granule, data[body_start : body_start + body_len]
         pos = body_start + body_len
 
 
+def _ogg_ident(body: bytes):
+    """(codec, rate, channels, clock, pre_skip) from an identification
+    packet, or None."""
+    if body.startswith(b"\x01vorbis") and len(body) >= 16:
+        channels = body[11]
+        (rate,) = struct.unpack_from("<I", body, 12)
+        return "vorbis", rate, channels, rate, 0
+    if body.startswith(b"OpusHead") and len(body) >= 19:
+        channels = body[9]
+        (pre_skip,) = struct.unpack_from("<H", body, 10)
+        (rate,) = struct.unpack_from("<I", body, 12)
+        return "opus", rate, channels, 48000, pre_skip  # 48 kHz granules
+    return None
+
+
 def probe_ogg(data: bytes):
+    """Tracks logical streams by SERIAL (RFC 3533): granules only count
+    toward the stream they belong to, so a multiplexed second stream
+    cannot corrupt the clock, and CHAINED streams (concatenated logical
+    streams, granule restarting at 0 — radio rips) sum their per-chain
+    durations. Reported codec/rate/channels come from the first
+    identified audio stream."""
     if data[:4] != b"OggS":
         return None
-    codec = None
-    rate = None
-    channels = None
-    clock = None            # granule units per second
-    pre_skip = 0
-    last_granule = None
-    for granule, body in _ogg_pages(data):
-        if codec is None:
-            if body.startswith(b"\x01vorbis") and len(body) >= 16:
-                codec = "vorbis"
-                channels = body[11]
-                (rate,) = struct.unpack_from("<I", body, 12)
-                clock = rate
-            elif body.startswith(b"OpusHead") and len(body) >= 19:
-                codec = "opus"
-                channels = body[9]
-                (pre_skip,) = struct.unpack_from("<H", body, 10)
-                (rate,) = struct.unpack_from("<I", body, 12)
-                clock = 48000  # Opus granules are always 48 kHz
-            else:
-                return None
+    streams: dict[int, dict] = {}   # serial → {ident, last_granule}
+    order: list[int] = []
+    for serial, granule, body in _ogg_pages(data):
+        if serial not in streams:
+            ident = _ogg_ident(body)
+            if ident is None:
+                continue  # non-audio (e.g. skeleton) stream — ignore
+            streams[serial] = {"ident": ident, "last": None}
+            order.append(serial)
+            continue
         if granule >= 0:
-            last_granule = granule
-    if codec is None or not clock:
+            streams[serial]["last"] = granule
+    if not order:
         return None
-    duration_ms = None
-    if last_granule is not None:
-        effective = max(0, last_granule - (pre_skip if codec == "opus" else 0))
-        duration_ms = int(round(effective * 1000.0 / clock))
+    codec, rate, channels, _clock, _skip = streams[order[0]]["ident"]
+    total_ms = 0.0
+    any_granule = False
+    for serial in order:
+        entry = streams[serial]
+        _c, _r, _ch, clock, pre_skip = entry["ident"]
+        if entry["last"] is None or not clock:
+            continue
+        any_granule = True
+        total_ms += max(0, entry["last"] - pre_skip) * 1000.0 / clock
+    duration_ms = int(round(total_ms)) if any_granule else None
     return codec, rate or None, channels, duration_ms
 
 

@@ -55,12 +55,16 @@ def _parse_mvhd(data: bytes, start: int, end: int):
             return None
         (timescale,) = struct.unpack_from(">I", data, start + 20)
         (duration,) = struct.unpack_from(">Q", data, start + 24)
+        unknown = duration == 0xFFFFFFFFFFFFFFFF
     else:
         if start + 20 > end:
             return None
         (timescale,) = struct.unpack_from(">I", data, start + 12)
         (duration,) = struct.unpack_from(">I", data, start + 16)
-    if timescale == 0:
+        unknown = duration == 0xFFFFFFFF
+    # all-ones = "cannot be determined" (ISO 14496-12); 0 = fragmented
+    # file whose real duration lives in mvex/mehd — both are NULL here
+    if timescale == 0 or unknown or duration == 0:
         return None
     return int(round(duration * 1000.0 / timescale))
 
@@ -184,11 +188,16 @@ def probe_matroska(data: bytes):
                         for vid, vs, ve in _ebml_children(data, ts, te):
                             if vid != 0xE0:  # Video
                                 continue
+                            # first video track wins (later entries are
+                            # typically thumbnail/cover tracks), matching
+                            # the ISO-BMFF path; zero/empty dims are NULL
+                            if width:
+                                continue
                             for pid, ps, pe in _ebml_children(data, vs, ve):
                                 if pid == 0xB0:
-                                    width = int.from_bytes(data[ps:pe], "big")
+                                    width = int.from_bytes(data[ps:pe], "big") or None
                                 elif pid == 0xBA:
-                                    height = int.from_bytes(data[ps:pe], "big")
+                                    height = int.from_bytes(data[ps:pe], "big") or None
     if duration_raw is not None and timescale_ns > 0:
         duration_ms = int(round(duration_raw * timescale_ns / 1e6))
     if width is None and duration_ms is None:

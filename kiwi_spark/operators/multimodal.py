@@ -25,7 +25,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 ASSET_SCHEMA = (
     "asset_id string, url string, kind string, payload binary, "
@@ -56,46 +56,50 @@ AUDIO_METADATA_SCHEMA = (
 )
 
 
-def probe_audio_metadata(assets: DataFrame) -> DataFrame:
-    """audio → (codec, sample_rate, n_channels, duration_ms) from the
-    FRAMING structure of compressed formats (functions.audio_meta: MP3
-    frame walk, Ogg page walk for Vorbis/Opus) — real triage metadata
-    with no codec dependency; amplitude features for these formats stay
-    behind ``decode_audio_features``'s documented stub. Unparseable
-    payloads emit NULL fields."""
+def _probe_metadata(assets: DataFrame, kind: str, probe_name: str,
+                    columns: list[str], schema: str) -> DataFrame:
+    """Shared container-metadata prober: pre-filters to ``kind`` JVM-side
+    (so other kinds' payload bytes never cross the Arrow boundary), then
+    maps each payload through functions.<probe_name> — a tuple matching
+    ``columns`` or None → NULL fields."""
+    import importlib
 
     def process(batches):
         import pandas as pd
 
-        from ..functions.audio_meta import probe_audio
-
+        probe = getattr(
+            importlib.import_module(f"kiwi_spark.functions.{probe_name}"),
+            f"probe_{kind}",
+        )
         for batch in batches:
             rows = []
             for row in batch.itertuples(index=False):
-                if row.kind != "audio":
-                    continue
-                probed = probe_audio(bytes(row.payload or b""))
-                codec, rate, channels, duration_ms = probed or (
-                    None, None, None, None
-                )
+                probed = probe(bytes(row.payload or b"")) or (None,) * len(columns)
                 rows.append(
-                    {
-                        "asset_id": row.asset_id,
-                        "codec": codec,
-                        "sample_rate": rate,
-                        "n_channels": channels,
-                        "duration_ms": duration_ms,
-                    }
+                    {"asset_id": row.asset_id, **dict(zip(columns, probed))}
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "asset_id", "codec", "sample_rate", "n_channels",
-                    "duration_ms",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=["asset_id", *columns])
 
-    return assets.mapInPandas(process, schema=AUDIO_METADATA_SCHEMA)
+    return (
+        assets.where(F.col("kind") == kind)
+        .select("asset_id", "payload")
+        .mapInPandas(process, schema=schema)
+    )
+
+
+def probe_audio_metadata(assets: DataFrame) -> DataFrame:
+    """audio → (codec, sample_rate, n_channels, duration_ms) from the
+    FRAMING structure of compressed formats (functions.audio_meta: MP3
+    frame walk with false-sync rejection, serial-aware Ogg page walk for
+    Vorbis/Opus incl. chained streams) — real triage metadata with no
+    codec dependency; amplitude features for these formats stay behind
+    ``decode_audio_features``'s documented stub. Unparseable payloads
+    emit NULL fields."""
+    return _probe_metadata(
+        assets, "audio", "audio_meta",
+        ["codec", "sample_rate", "n_channels", "duration_ms"],
+        AUDIO_METADATA_SCHEMA,
+    )
 
 
 def probe_video_metadata(assets: DataFrame) -> DataFrame:
@@ -105,38 +109,11 @@ def probe_video_metadata(assets: DataFrame) -> DataFrame:
     Unparseable payloads emit a row with NULL fields (they are still
     assets; downstream filters decide). Frame CONTENT features remain
     behind ``sample_video_frames``'s documented stub."""
-
-    def process(batches):
-        import pandas as pd
-
-        from ..functions.video_meta import probe_video
-
-        for batch in batches:
-            rows = []
-            for row in batch.itertuples(index=False):
-                if row.kind != "video":
-                    continue
-                probed = probe_video(bytes(row.payload or b""))
-                container, width, height, duration_ms = probed or (
-                    None, None, None, None
-                )
-                rows.append(
-                    {
-                        "asset_id": row.asset_id,
-                        "container": container,
-                        "width": width,
-                        "height": height,
-                        "duration_ms": duration_ms,
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "asset_id", "container", "width", "height", "duration_ms",
-                ],
-            )
-
-    return assets.mapInPandas(process, schema=VIDEO_METADATA_SCHEMA)
+    return _probe_metadata(
+        assets, "video", "video_meta",
+        ["container", "width", "height", "duration_ms"],
+        VIDEO_METADATA_SCHEMA,
+    )
 
 
 def decode_bmp(payload: bytes):

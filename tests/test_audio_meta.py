@@ -137,3 +137,42 @@ def test_probe_audio_operator(spark):
     assert rows["a1"]["codec"] == "mp3" and rows["a1"]["duration_ms"] == 261
     assert rows["a2"]["codec"] == "vorbis" and rows["a2"]["duration_ms"] == 1000
     assert rows["a3"]["codec"] is None
+
+
+def test_mp3_false_sync_in_leading_junk():
+    """A random byte pair that looks like a frame header must not anchor
+    the walk: the implied next-frame position carries no sync, so the
+    prober resyncs and reports the REAL frame run (review finding)."""
+    junk = bytes([0xFF, 0xFB, 0x92, 0x00]) + bytes(100)
+    data = junk + mp3_frame() * 10
+    assert probe_mp3(data) == ("mp3", 44100, 2, 261)
+    # false sync whose implied frame overruns the buffer, then real frames
+    data = bytes([0xFF, 0xFB, 0xE2, 0x00]) + mp3_frame() * 10
+    got = probe_mp3(data)
+    assert got is not None and got[3] == 261
+
+
+def test_ogg_chained_streams_sum_and_multiplex_isolation():
+    """Chained Ogg (two concatenated logical streams, granule restarting)
+    sums durations; a multiplexed non-audio stream's pages are ignored."""
+    chain1 = (
+        ogg_page(0, vorbis_ident(), 0, first=True)
+        + ogg_page(44100, b"x", 1)
+    )
+    # second chain: new serial — rebuild pages with serial 2
+    def page2(granule, body, seq, first=False):
+        p = bytearray(ogg_page(granule, body, seq, first))
+        struct.pack_into("<I", p, 14, 2)
+        return bytes(p)
+    chain2 = page2(0, vorbis_ident(rate=22050), 0, True) + page2(22050, b"y", 1)
+    got = probe_ogg(chain1 + chain2)
+    # 1 s at 44.1k + 1 s at 22.05k; codec/rate reported from the FIRST
+    assert got == ("vorbis", 44100, 2, 2000)
+
+    # multiplexed junk stream (serial 3, no recognizable ident): ignored
+    def page3(granule, body, seq):
+        p = bytearray(ogg_page(granule, body, seq))
+        struct.pack_into("<I", p, 14, 3)
+        return bytes(p)
+    got = probe_ogg(chain1 + page3(999999, b"skeleton-ish", 0))
+    assert got == ("vorbis", 44100, 2, 1000)

@@ -153,3 +153,35 @@ def test_probe_operator(spark):
             rows["v1"]["duration_ms"]) == ("mp4", 640, 360, 5000)
     assert rows["v2"]["container"] == "webm" and rows["v2"]["width"] == 1280
     assert rows["v3"]["container"] is None and rows["v3"]["width"] is None
+
+
+def test_mvhd_unknown_and_fragmented_durations_are_null():
+    """All-ones duration ('cannot be determined') and duration 0
+    (fragmented mp4 — real duration lives in mvex/mehd) must report
+    NULL, not 49.7 days or 0 ms (review finding)."""
+    moov = box(
+        b"moov",
+        mvhd_v0(1000, 0xFFFFFFFF) + box(b"trak", tkhd_v0(640, 360)),
+    )
+    data = box(b"ftyp", b"isom" + bytes(8)) + moov
+    assert probe_isobmff(data) == ("mp4", 640, 360, None)
+    moov = box(b"moov", mvhd_v0(1000, 0) + box(b"trak", tkhd_v0(640, 360)))
+    data = box(b"ftyp", b"isom" + bytes(8)) + moov
+    assert probe_isobmff(data) == ("mp4", 640, 360, None)
+
+
+def test_matroska_first_video_track_wins():
+    """A thumbnail/cover video track after the main track must not
+    override the main track's dimensions (review finding)."""
+    header = elem(b"\x1a\x45\xdf\xa3", elem(b"\x42\x82", b"matroska"))
+    video = lambda w, h: elem(
+        b"\xe0",
+        elem(b"\xb0", w.to_bytes(2, "big")) + elem(b"\xba", h.to_bytes(2, "big")),
+    )
+    tracks = elem(
+        b"\x16\x54\xae\x6b",
+        elem(b"\xae", video(1920, 1080)) + elem(b"\xae", video(640, 360)),
+    )
+    segment = elem(b"\x18\x53\x80\x67", tracks)
+    got = probe_matroska(header + segment)
+    assert got == ("mkv", 1920, 1080, None)
