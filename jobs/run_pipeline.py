@@ -100,9 +100,11 @@ def main() -> int:
             n_buckets=args.buckets,
         )
         # incremental maintains an existing index; --search-index on an
-        # unindexed warehouse means "index it now"
+        # unindexed (or partially indexed) warehouse means "index it now"
+        from kiwi_spark.plans.search_index import has_search_index
+
         cat = Catalog(args.warehouse)
-        if args.search_index and not cat.exists("entity_trigrams"):
+        if args.search_index and not has_search_index(cat):
             t0 = time.time()
             _commit_search_index(cat, spark)
             result.timings["search_index"] = round(time.time() - t0, 3)

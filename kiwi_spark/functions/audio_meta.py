@@ -150,18 +150,30 @@ def probe_ogg(data: bytes):
     identified audio stream."""
     if data[:4] != b"OggS":
         return None
-    streams: dict[int, dict] = {}   # serial → {ident, last_granule}
+    streams: dict[int, dict] = {}   # serial → {ident, last, chain_ms}
     order: list[int] = []
     for serial, granule, body in _ogg_pages(data):
         if serial not in streams:
             ident = _ogg_ident(body)
             if ident is None:
                 continue  # non-audio (e.g. skeleton) stream — ignore
-            streams[serial] = {"ident": ident, "last": None}
+            streams[serial] = {"ident": ident, "last": None, "chain_ms": 0.0}
             order.append(serial)
             continue
         if granule >= 0:
-            streams[serial]["last"] = granule
+            entry = streams[serial]
+            if entry["last"] is not None and granule < entry["last"]:
+                # chained stream REUSING the serial number (legal per
+                # RFC 3533 §4 — serials need only be unique within a
+                # chain segment): the granule restarting means a new
+                # segment started, so bank the finished segment's
+                # duration instead of letting the restart overwrite it
+                _c, _r, _ch, clock, pre_skip = entry["ident"]
+                if clock:
+                    entry["chain_ms"] += (
+                        max(0, entry["last"] - pre_skip) * 1000.0 / clock
+                    )
+            entry["last"] = granule
     if not order:
         return None
     codec, rate, channels, _clock, _skip = streams[order[0]]["ident"]
@@ -170,12 +182,16 @@ def probe_ogg(data: bytes):
     for serial in order:
         entry = streams[serial]
         _c, _r, _ch, clock, pre_skip = entry["ident"]
+        if entry["chain_ms"]:
+            any_granule = True
+            total_ms += entry["chain_ms"]
         if entry["last"] is None or not clock:
             continue
         any_granule = True
         total_ms += max(0, entry["last"] - pre_skip) * 1000.0 / clock
     duration_ms = int(round(total_ms)) if any_granule else None
-    return codec, rate or None, channels, duration_ms
+    # channels == 0 in an ident header is declared-but-meaningless → NULL
+    return codec, rate or None, channels or None, duration_ms
 
 
 def probe_audio(data: bytes):

@@ -241,6 +241,7 @@ def decode_flac(payload: bytes):
     sum_sq = 0.0
     peak = 0.0
     total = 0
+    n_samples = 0
     rate = si_rate
     channels = si_channels
 
@@ -342,12 +343,15 @@ def decode_flac(payload: bytes):
                     if a > peak:
                         peak = a
             total += block
+            # per-frame channel count: frame headers may legally switch
+            # channel assignment mid-stream, so the rms denominator must
+            # count the samples each frame actually carried
+            n_samples += block * len(decoded)
     except (EOFError, ValueError, IndexError):
         return None
 
-    if total == 0:
+    if total == 0 or n_samples == 0:
         return None
-    n_samples = total * channels
     rms = math.sqrt(sum_sq / n_samples)
     duration_ms = int(round(total * 1000.0 / rate))
     return rate, channels, duration_ms, float(rms), float(peak)

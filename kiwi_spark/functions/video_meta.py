@@ -161,6 +161,7 @@ def probe_matroska(data: bytes):
         return None
     container = "mkv"
     width = height = None
+    saw_video_track = False
     duration_ms = None
     timescale_ns = 1_000_000  # Matroska default
     duration_raw = None
@@ -190,9 +191,14 @@ def probe_matroska(data: bytes):
                                 continue
                             # first video track wins (later entries are
                             # typically thumbnail/cover tracks), matching
-                            # the ISO-BMFF path; zero/empty dims are NULL
-                            if width:
+                            # the ISO-BMFF path; zero/empty dims are NULL.
+                            # The guard is a track-level flag, not `width`:
+                            # a first track carrying only PixelHeight must
+                            # still block a later track's width from
+                            # merging into mixed-track dimensions.
+                            if saw_video_track:
                                 continue
+                            saw_video_track = True
                             for pid, ps, pe in _ebml_children(data, vs, ve):
                                 if pid == 0xB0:
                                     width = int.from_bytes(data[ps:pe], "big") or None
@@ -200,7 +206,7 @@ def probe_matroska(data: bytes):
                                     height = int.from_bytes(data[ps:pe], "big") or None
     if duration_raw is not None and timescale_ns > 0:
         duration_ms = int(round(duration_raw * timescale_ns / 1e6))
-    if width is None and duration_ms is None:
+    if width is None and height is None and duration_ms is None:
         return None
     return container, width, height, duration_ms
 

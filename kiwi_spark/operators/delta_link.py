@@ -312,10 +312,22 @@ def delta_relink(
             batch_id=batch_id,
         )
 
-    # --- incremental search index (MOR, bounded commit) ------------------
-    if cat.exists("entity_trigrams"):
+    # --- incremental search index (MOR, bounded commit). Gate on ALL five
+    # index tables (ADVICE r5): a crash during the parallel five-table
+    # commit can leave e.g. ivf_centroids missing, and the delta
+    # maintenance would FileNotFoundError — a partial index is instead
+    # rebuilt wholesale (which also repairs the crash).
+    from ..plans.search_index import SEARCH_INDEX_TABLES, has_search_index
+
+    if has_search_index(cat):
         t0 = _time.time()
         delta_search_index(spark, cat, e_t, batch_id, edge_index_mask)
+        stats.timings["search_index"] = round(_time.time() - t0, 3)
+    elif any(cat.exists(t) for t in SEARCH_INDEX_TABLES):
+        from ..pipeline import _commit_search_index
+
+        t0 = _time.time()
+        _commit_search_index(cat, spark)
         stats.timings["search_index"] = round(_time.time() - t0, 3)
 
     # stats from the COMMITTED tables (delta rows ≡ rows with a touched

@@ -168,6 +168,10 @@ def run_pipeline(
                 (link_keys_df(nodes_doc, link_mode), "link_keys", "deduplicating"),
             ],
         )
+        # record the key family the persisted link_keys/id_map were built
+        # with — incremental batches validate against it (a mismatched
+        # --link-mode would compute the touched set from the wrong keys)
+        cat.set_property("link_mode", link_mode)
 
     stage("id_map", _id_map, ["id_map", "link_keys"])
     id_map = cat.read(spark, "id_map")
@@ -226,6 +230,23 @@ def run_pipeline(
 APPEND_COMPACT_AFTER = 16  # fast-append dirs per doc view before rewrite
 
 
+def _check_link_mode(cat: Catalog, link_mode: str) -> None:
+    """Delta correctness requires every incremental batch to use the key
+    family the warehouse's link_keys/id_map were built with (ADVICE r5):
+    raise on mismatch, backfill the property for pre-round-6 warehouses."""
+    stored = cat.get_property("link_mode")
+    if stored is None:
+        if cat.exists("link_keys"):
+            cat.set_property("link_mode", link_mode)
+        return
+    if stored != link_mode:
+        raise ValueError(
+            f"warehouse was linked with link_mode={stored!r}; an incremental "
+            f"batch with link_mode={link_mode!r} would compute the touched "
+            "set from a mismatched key family and corrupt the graph"
+        )
+
+
 def incremental_add(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -253,6 +274,7 @@ def incremental_add(
     already-appended tables instead of duplicating rows (tested)."""
     cat = Catalog(warehouse)
     result = PipelineResult(warehouse=warehouse)
+    _check_link_mode(cat, link_mode)
 
     # deterministic idempotency key: one tiny distributed agg, one driver row
     sig = new_pages.agg(
@@ -317,6 +339,7 @@ def incremental_add(
                 (link_keys_df(nodes_doc, link_mode), "link_keys", "deduplicating"),
             ],
         )
+        cat.set_property("link_mode", link_mode)
         id_map = cat.read(spark, "id_map")
         nodes, edges, mentions = canonicalize(nodes_doc, edges_doc, mentions_doc, id_map)
         _parallel_commits(
@@ -331,8 +354,10 @@ def incremental_add(
         result.stages_run = ["text_append", "ingest_append", "relink"]
 
         # legacy path: the canonical graph changed — rebuild the search
-        # index wholesale when present
-        if cat.exists("entity_trigrams"):
+        # index wholesale when present, INCLUDING a partial index left by
+        # a crash during the five-table commit (ADVICE r5: gating on one
+        # table would FileNotFoundError on the missing siblings)
+        if any(cat.exists(t) for t in SEARCH_INDEX_TABLES):
             started = time.time()
             _commit_search_index(cat, spark)
             result.timings["search_index"] = round(time.time() - started, 3)

@@ -32,6 +32,31 @@ class Catalog:
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
 
+    # -- warehouse properties ---------------------------------------------
+    # catalog-level key/value metadata (the Iceberg table-properties
+    # analog) — e.g. the link_mode the graph was built with, so a later
+    # incremental batch can't silently relink with a mismatched key family
+    def _properties_path(self) -> str:
+        return os.path.join(self.warehouse, "PROPERTIES.json")
+
+    def properties(self) -> dict:
+        path = self._properties_path()
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            return json.load(fh)
+
+    def get_property(self, key: str, default=None):
+        return self.properties().get(key, default)
+
+    def set_property(self, key: str, value) -> None:
+        props = self.properties()
+        props[key] = value
+        tmp = self._properties_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(props, fh, indent=2)
+        os.replace(tmp, self._properties_path())  # atomic flip
+
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self.warehouse, table, "MANIFEST.json")

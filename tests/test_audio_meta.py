@@ -176,3 +176,29 @@ def test_ogg_chained_streams_sum_and_multiplex_isolation():
         return bytes(p)
     got = probe_ogg(chain1 + page3(999999, b"skeleton-ish", 0))
     assert got == ("vorbis", 44100, 2, 1000)
+
+
+def test_ogg_chained_stream_reusing_serial_accumulates():
+    """RFC 3533 only requires serials to be unique WITHIN a chain segment:
+    a chained stream that reuses the serial restarts its granule at 0. The
+    restart must bank the finished segment's duration, not overwrite it
+    (ADVICE r5)."""
+    data = (
+        ogg_page(0, vorbis_ident(), 0, first=True)
+        + ogg_page(44100, b"x", 1)
+        # same serial (1), new chain: ident + granule restarting from 0
+        + ogg_page(0, vorbis_ident(), 2, first=True)
+        + ogg_page(22050, b"y", 3)
+    )
+    # 1 s (44100/44100) banked + 0.5 s (22050/44100) from the live chain
+    assert probe_ogg(data) == ("vorbis", 44100, 2, 1500)
+
+
+def test_ogg_zero_channels_reported_as_null():
+    """channels == 0 in an ident header is declared-but-meaningless — map
+    to NULL, not 0 (ADVICE r5)."""
+    data = (
+        ogg_page(0, vorbis_ident(channels=0), 0, first=True)
+        + ogg_page(44100, b"x", 1)
+    )
+    assert probe_ogg(data) == ("vorbis", 44100, None, 1000)

@@ -309,7 +309,9 @@ def test_sessionize(spark):
 
 def test_spread_fans_out_small_scans(spark, tmp_path):
     """dedup._spread: a single-split scan repartitions to cluster
-    parallelism; an already-wide input passes through unchanged."""
+    parallelism; a scan whose file stats already imply ≥ target splits
+    passes through unchanged (no RDD conversion — the estimate comes from
+    file metadata, the Iceberg-manifest analog)."""
     from kiwi_spark.operators.dedup import _spread
 
     df = spark.createDataFrame([(i, f"t{i}") for i in range(100)], "doc_id int, text string")
@@ -319,7 +321,12 @@ def test_spread_fans_out_small_scans(spark, tmp_path):
     assert narrow.rdd.getNumPartitions() <= 2
     spread = _spread(narrow)
     assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
-    wide = narrow.repartition(spark.sparkContext.defaultParallelism * 2)
+    # a many-file scan estimates ≥ target splits (openCost per file alone
+    # crosses maxPartitionBytes × parallelism) → returned untouched
+    wide_path = str(tmp_path / "docs_wide_pq")
+    target = spark.sparkContext.defaultParallelism
+    df.repartition(target * 8).write.parquet(wide_path)
+    wide = spark.read.parquet(wide_path)
     assert _spread(wide) is wide  # no added shuffle at scale
 
 

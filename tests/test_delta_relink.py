@@ -286,3 +286,44 @@ def test_graph_table_commits_are_bounded_mor(spark, tmp_path):
         os.path.join(wh, "nodes", nodes_snap["dir"])
     ).count()
     assert appended_nodes == result.counts.get("nodes") or appended_nodes < cat.read(spark, "nodes").count()
+
+
+def test_link_mode_mismatch_raises(spark, tmp_path):
+    """The warehouse records the key family its link_keys/id_map were
+    built with; an incremental batch with a different --link-mode must
+    raise instead of silently corrupting the touched-set computation
+    (ADVICE r5)."""
+    import pytest
+
+    wh = str(tmp_path / "wh_mode")
+    all_pages = pages_df(spark, 16, seed=31, partitions=2)
+    base = all_pages.where(F.col("url") < "https://s")
+    batch = all_pages.where(F.col("url") >= "https://s")
+    run_pipeline(spark, base, wh, link_mode="parity", collect_lineage=False)
+    assert Catalog(wh).get_property("link_mode") == "parity"
+    with pytest.raises(ValueError, match="link_mode"):
+        incremental_add(spark, batch, wh, link_mode="fuzzy")
+    # matching mode still works
+    incremental_add(spark, batch, wh, link_mode="parity")
+
+
+def test_partial_search_index_is_rebuilt(spark, tmp_path):
+    """A crash during the five-table index commit can leave a PARTIAL
+    index; the next incremental batch must detect it (all-five gate) and
+    rebuild wholesale instead of raising FileNotFoundError (ADVICE r5)."""
+    from kiwi_spark.plans.search_index import SEARCH_INDEX_TABLES, has_search_index
+
+    wh = str(tmp_path / "wh_partial")
+    all_pages = pages_df(spark, 16, seed=37, partitions=2)
+    base = all_pages.where(F.col("url") < "https://s")
+    batch = all_pages.where(F.col("url") >= "https://s")
+    run_pipeline(spark, base, wh, collect_lineage=False, build_search_index=True)
+    cat = Catalog(wh)
+    cat.drop("ivf_centroids")  # simulate the crash window
+    assert not has_search_index(cat)
+
+    result = incremental_add(spark, batch, wh)
+    assert "search_index" in result.stages_run
+    assert has_search_index(cat)
+    for table in SEARCH_INDEX_TABLES:
+        assert cat.read(spark, table).count() > 0

@@ -104,7 +104,9 @@ def test_no_row_at_a_time_udfs_in_package():
     offenders = []
     for path in root.rglob("*.py"):
         src = path.read_text()
-        if ".rdd.map(" in src or "F.udf(" in src or "@udf" in src:
+        # `.rdd` banned outright since round 6 (the last use — a partition
+        # probe in dedup._spread — was replaced by file-stats estimation)
+        if ".rdd" in src or "F.udf(" in src or "@udf" in src:
             offenders.append(str(path))
     assert not offenders, offenders
 

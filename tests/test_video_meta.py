@@ -185,3 +185,20 @@ def test_matroska_first_video_track_wins():
     segment = elem(b"\x18\x53\x80\x67", tracks)
     got = probe_matroska(header + segment)
     assert got == ("mkv", 1920, 1080, None)
+
+
+def test_matroska_partial_first_track_blocks_later_merge():
+    """A first video track carrying only PixelHeight must still block a
+    later track: the guard is a saw-track flag, not `width`, so the result
+    is the first track's (None, height) — never mixed-track dimensions
+    (ADVICE r5)."""
+    header = elem(b"\x1a\x45\xdf\xa3", elem(b"\x42\x82", b"matroska"))
+    first = elem(b"\xe0", elem(b"\xba", (1080).to_bytes(2, "big")))  # h only
+    second = elem(
+        b"\xe0",
+        elem(b"\xb0", (640).to_bytes(2, "big"))
+        + elem(b"\xba", (360).to_bytes(2, "big")),
+    )
+    tracks = elem(b"\x16\x54\xae\x6b", elem(b"\xae", first) + elem(b"\xae", second))
+    segment = elem(b"\x18\x53\x80\x67", tracks)
+    assert probe_matroska(header + segment) == ("mkv", None, 1080, None)
