@@ -51,6 +51,12 @@ def main() -> int:
         help="with --synthesize + --incremental: index offset of the "
              "batch (disjoint ranges under one seed ⇒ disjoint urls)",
     )
+    parser.add_argument(
+        "--remove", action="store_true",
+        help="REMOVE the given pages' urls from an existing warehouse "
+             "(the reference's delete-file workflow): masks their doc "
+             "rows and recomputes only the touched canonical groups",
+    )
     args = parser.parse_args()
 
     if not args.input and not args.synthesize:
@@ -86,9 +92,22 @@ def main() -> int:
     if args.incremental and args.resume:
         parser.error("--incremental batches are retry-idempotent by "
                      "batch id; --resume only applies to full runs")
+    if args.remove and (args.incremental or args.resume):
+        parser.error("--remove is its own batch kind (retry-idempotent); "
+                     "combine with --input/--synthesize only")
 
     started = time.time()
-    if args.incremental:
+    if args.remove:
+        from kiwi_spark.pipeline import incremental_remove
+
+        result = incremental_remove(
+            spark,
+            pages.select("url"),
+            args.warehouse,
+            link_mode=args.link_mode,
+            n_buckets=args.buckets,
+        )
+    elif args.incremental:
         from kiwi_spark.pipeline import _commit_search_index, incremental_add
         from kiwi_spark.sources.catalog import Catalog
 

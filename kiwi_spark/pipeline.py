@@ -276,11 +276,17 @@ def incremental_add(
     result = PipelineResult(warehouse=warehouse)
     _check_link_mode(cat, link_mode)
 
-    # deterministic idempotency key: one tiny distributed agg, one driver row
+    # deterministic idempotency key: one tiny distributed agg, one driver
+    # row. The key carries the warehouse's removal_epoch so RE-ADDING a
+    # previously removed url is a fresh batch (its rows must append after
+    # the removal's equality deletes, not be skipped as already-appended).
     sig = new_pages.agg(
         F.bit_xor(F.xxhash64("url")).alias("h"), F.count("*").alias("n")
     ).first()
-    batch_id = f"b{(sig['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{sig['n']}"
+    epoch = int(cat.get_property("removal_epoch", 0))
+    batch_id = (
+        f"b{(sig['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{sig['n']}-e{epoch}"
+    )
 
     def _append(df_builder, table: str, stage: str):
         if cat.batch_appended(table, batch_id):
@@ -363,29 +369,108 @@ def incremental_add(
             result.timings["search_index"] = round(time.time() - started, 3)
             result.stages_run.append("search_index")
 
-    # small-files control (the 100 TB concern with per-batch fast-appends):
-    # once a doc-level view's snapshot references compact_appends_after
-    # data dirs, rewrite it as one clean snapshot — Iceberg's
-    # rewrite-data-files action, amortized to 1/N of batches. Compaction
-    # carries batch-id provenance forward, so retried batches still skip.
-    if compact_appends_after:
-        started = time.time()
-        compacted = []
-        for table in (
-            "text", "raw_graph", "units", "nodes_doc", "edges_doc",
-            "mentions_doc", "link_keys",
-            # MOR graph tables: compaction also drains their delete
-            # chains and restores bucket clustering
-            "id_map", "nodes", "edges", "mentions",
-        ):
-            snap = cat.current_snapshot(table) if cat.exists(table) else None
-            if snap and len(snap.get("dirs") or []) >= compact_appends_after:
-                cat.compact(spark, table)
-                compacted.append(table)
-        if compacted:
-            result.timings["compact"] = round(time.time() - started, 3)
-            result.counts["compacted_tables"] = len(compacted)
-            result.stages_run.append("compact")
+    _auto_compact(spark, cat, result, compact_appends_after)
+
+    for table in ("nodes", "edges", "mentions"):
+        result.counts[table] = cat.read(spark, table).count()
+    return result
+
+
+# tables whose append/delete chains the per-batch compaction bounds
+_COMPACTABLE_TABLES = (
+    "text", "raw_graph", "units", "nodes_doc", "edges_doc",
+    "mentions_doc", "link_keys",
+    # MOR graph tables: compaction also drains their delete
+    # chains and restores bucket clustering
+    "id_map", "nodes", "edges", "mentions",
+)
+
+
+def _auto_compact(spark, cat: Catalog, result: PipelineResult,
+                  compact_appends_after: int) -> None:
+    """Small-files + delete-chain control (the 100 TB concern with
+    per-batch fast-appends): once a table's snapshot references
+    compact_appends_after data dirs, rewrite it as one clean snapshot —
+    Iceberg's rewrite-data-files action, amortized to 1/N of batches.
+    Compaction carries batch-id provenance forward, so retried batches
+    still skip."""
+    if not compact_appends_after:
+        return
+    started = time.time()
+    compacted = []
+    for table in _COMPACTABLE_TABLES:
+        snap = cat.current_snapshot(table) if cat.exists(table) else None
+        chain = len(snap.get("dirs") or []) if snap else 0
+        deletes = len(snap.get("deletes") or []) if snap else 0
+        if max(chain, deletes) >= compact_appends_after:
+            cat.compact(spark, table)
+            compacted.append(table)
+    if compacted:
+        result.timings["compact"] = round(time.time() - started, 3)
+        result.counts["compacted_tables"] = len(compacted)
+        result.stages_run.append("compact")
+
+
+def incremental_remove(
+    spark: SparkSession,
+    urls,
+    warehouse: str,
+    link_mode: str = "parity",
+    n_buckets: int = 32,
+    compact_appends_after: int = APPEND_COMPACT_AFTER,
+) -> PipelineResult:
+    """Remove documents from an existing warehouse — the reference's
+    delete-file workflow (apps/worker/workflows/delete-file.ts:34-100,
+    bulk form delete-graph-files.ts), on the delta closure machinery:
+    O(removed + touched) per batch, result ≡ a from-scratch build over the
+    complement corpus in both link modes (operators.delta_remove).
+
+    ``urls`` is a DataFrame with a ``url`` column or a list of url
+    strings. Urls absent from the warehouse are ignored (the reference
+    returns early on an unknown fileId, delete-file.ts:30-32).
+
+    Crash-safe and retry-idempotent: the removal's decision sets are the
+    FIRST commit (tagged with the batch id) and every table mutation is
+    guarded by the same tag. Mutating calls (add/remove) must be issued
+    serially per warehouse and a crashed batch retried before the next
+    mutation — the single-writer discipline Iceberg expects; the
+    ``removal_epoch`` property fences add-batch idempotency keys across
+    removals so a removed url can be re-ingested."""
+    cat = Catalog(warehouse)
+    result = PipelineResult(warehouse=warehouse)
+    _check_link_mode(cat, link_mode)
+
+    if not isinstance(urls, DataFrame):
+        urls = spark.createDataFrame([(u,) for u in urls], "url string")
+
+    sig = urls.agg(
+        F.bit_xor(F.xxhash64("url")).alias("h"), F.count("*").alias("n")
+    ).first()
+    epoch = int(cat.get_property("removal_epoch", 0))
+    batch_id = (
+        f"rm{(sig['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{sig['n']}-e{epoch}"
+    )
+
+    from .operators.delta_remove import delta_unlink
+
+    started = time.time()
+    stats = delta_unlink(
+        spark, cat, urls, batch_id, link_mode=link_mode, n_buckets=n_buckets
+    )
+    result.timings["remove"] = round(time.time() - started, 3)
+    result.timings.update({f"remove_{k}": v for k, v in stats.timings.items()})
+    result.counts["removed_entities"] = stats.n_removed_entities
+    result.counts["touched_entities"] = stats.n_touched_entities
+    result.counts["touched_doc_edges"] = stats.n_touched_doc_edges
+    result.stages_run = ["delta_remove"]
+    if "search_index" in stats.timings:
+        result.stages_run.append("search_index")
+
+    # fence: completed removals bump the epoch so identical future batch
+    # payloads (re-adds, repeated removals) get fresh idempotency keys
+    cat.set_property("removal_epoch", epoch + 1)
+
+    _auto_compact(spark, cat, result, compact_appends_after)
 
     for table in ("nodes", "edges", "mentions"):
         result.counts[table] = cat.read(spark, table).count()
