@@ -368,12 +368,16 @@ def delta_search_index(
     Deletions follow closure property (2): a stale index row's id is a
     canonical id of an affected group, i.e. ∈ E_t (entities) or an edge
     with an endpoint ∈ E_t (relationships). Additions are rebuilt from
-    the just-committed delta rows only. IVF centroids are NOT retrained —
-    new vectors are assigned to the existing cells, exactly how a
+    the just-committed delta rows only. IVF centroids stay frozen per
+    batch — new vectors are assigned to the existing cells, exactly how a
     DiskANN/IVF index absorbs inserts; query exactness is unaffected
-    because the default nprobe probes every cell (plans.search_index).
-    A delete chain longer than INDEX_COMPACT_AFTER triggers compaction
-    (the Iceberg rewrite-data-files analog)."""
+    because the default nprobe probes every cell (plans.search_index) —
+    but once the cumulative row churn crosses IVF_DRIFT_THRESHOLD, the
+    drifted leg's cells are RETRAINED from the live table
+    (plans.search_index.maybe_retrain_ivf, round 6), keeping partial-probe
+    recall from decaying under sustained ingestion. A delete chain longer
+    than INDEX_COMPACT_AFTER triggers compaction (the Iceberg
+    rewrite-data-files analog)."""
     import numpy as np
 
     from ..plans.search_index import build_trigram_index, load_centroids
@@ -449,3 +453,11 @@ def delta_search_index(
         snap = cat.current_snapshot(table)
         if len(snap.get("deletes") or []) >= INDEX_COMPACT_AFTER:
             cat.compact(spark, table, stage="indexing")
+
+    # centroid-drift check (VERDICT r5 watch #1): when sustained
+    # ingestion/removal moved a leg's vector count past the threshold,
+    # retrain its cells from the live table (partial-probe recall decays
+    # on frozen centroids; nprobe=all stays exact either way)
+    from ..plans.search_index import maybe_retrain_ivf
+
+    maybe_retrain_ivf(spark, cat)

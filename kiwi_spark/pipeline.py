@@ -64,6 +64,7 @@ def _commit_search_index(cat: Catalog, spark: SparkSession) -> None:
         build_entity_search_index,
         build_relationship_search_index,
         centroid_rows,
+        record_ivf_training,
     )
 
     nodes_m = cat.read(spark, "nodes")
@@ -83,6 +84,8 @@ def _commit_search_index(cat: Catalog, spark: SparkSession) -> None:
             (cents, "ivf_centroids", "indexing"),
         ],
     )
+    # reference point for the centroid-drift trigger (maybe_retrain_ivf)
+    record_ivf_training(cat, nodes_m.count(), edges_m.count())
 
 
 @dataclass

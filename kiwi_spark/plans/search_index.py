@@ -335,6 +335,91 @@ def build_relationship_search_index(edges: DataFrame, nodes: DataFrame,
 
 
 # --------------------------------------------------------------------------
+# IVF centroid-drift refresh (VERDICT r5 watch #1)
+# --------------------------------------------------------------------------
+
+# retrain a leg when its vector count moved this far from the trained count
+IVF_DRIFT_THRESHOLD = 0.5
+
+
+def record_ivf_training(cat, entity_rows: int, edge_rows: int) -> None:
+    """Persist the vector counts the current centroids were trained on —
+    the reference point for the drift trigger."""
+    cat.set_property(
+        "ivf_trained_rows", {"entity": int(entity_rows), "edge": int(edge_rows)}
+    )
+
+
+def maybe_retrain_ivf(spark, cat, threshold: float = IVF_DRIFT_THRESHOLD,
+                      n_cells: int = 16, seed: int = 5) -> list[str]:
+    """Retrain drifted IVF legs (returns the kinds retrained, [] if none).
+
+    Incremental batches assign new vectors to FROZEN cells — exactly how
+    DiskANN/IVF indexes absorb inserts — which keeps queries exact only
+    while the default nprobe probes every cell. Under sustained ingestion
+    (or bulk removal) the data distribution walks away from the centroids
+    and partial-probe recall silently decays; the reference's DiskANN
+    index rebuilds its graph as rows churn (graph.ts:227-228). The
+    trigger: a leg's live vector count differing from its trained count
+    by more than ``threshold`` (growth or shrinkage — both move the
+    distribution). Retraining is a full re-run of the Lloyd build over
+    the live canonical table, committed as a CLEAN snapshot (drains that
+    leg's MOR delete chain, like a compaction) that carries the live
+    batch-id lineage forward so retried batches still skip. Recall-guard
+    test: tests/test_search_index.py::test_drift_retrain_restores_partial_probe_recall.
+    """
+    from ..operators.similarity import ivf_build
+
+    # operational knob: a warehouse can tune its own trigger (e.g. lower
+    # it for fast-drifting corpora) without code changes
+    threshold = float(cat.get_property("ivf_drift_threshold", threshold))
+    trained = dict(cat.get_property("ivf_trained_rows") or {})
+    plans = {
+        "entity": ("entity_ivf", "nodes", "entity_id"),
+        "edge": ("edge_ivf", "edges", "edge_id"),
+    }
+    drifted = []
+    counts = {}
+    for kind, (ivf_table, _src, _id) in plans.items():
+        cur = cat.read(spark, ivf_table).count()
+        counts[kind] = cur
+        t = int(trained.get(kind, 0))
+        if t <= 0 or abs(cur - t) > threshold * max(t, 1):
+            drifted.append(kind)
+    if not drifted:
+        return []
+
+    new_cents: dict[str, list[list[float]]] = {}
+    for kind in drifted:
+        ivf_table, src_table, id_col = plans[kind]
+        src = cat.read(spark, src_table)
+        assigned, cents = ivf_build(
+            src, n_cells=min(n_cells, max(1, counts[kind] or 1)), seed=seed,
+            id_col=id_col, vec_col="embedding",
+        )
+        cat.commit(
+            assigned, ivf_table, stage="indexing",
+            batch_ids=cat.live_batch_ids(ivf_table) or None,
+        )
+        new_cents[kind] = cents
+        trained[kind] = counts[kind]
+    cents_df = None
+    for kind in ("entity", "edge"):
+        part = (
+            centroid_rows(spark, kind, new_cents[kind])
+            if kind in new_cents
+            else cat.read(spark, "ivf_centroids").where(F.col("kind") == kind)
+        )
+        cents_df = part if cents_df is None else cents_df.unionByName(part)
+    cat.commit(
+        cents_df, "ivf_centroids", stage="indexing",
+        batch_ids=cat.live_batch_ids("ivf_centroids") or None,
+    )
+    record_ivf_training(cat, trained.get("entity", 0), trained.get("edge", 0))
+    return drifted
+
+
+# --------------------------------------------------------------------------
 # auto-routing (VERDICT r4 #7): serve from the index when it exists
 # --------------------------------------------------------------------------
 

@@ -237,6 +237,23 @@ class Catalog:
             out = part if out is None else out.unionByName(part)
         return out
 
+    def live_batch_ids(self, table: str) -> list[str]:
+        """Batch ids whose rows are part of the current snapshot's data-dir
+        chain — a full-rewrite commit (compaction, index retrain) must
+        carry these forward so retried batches still skip."""
+        manifest = self._read_manifest(table) or {"snapshots": []}
+        cur = self.current_snapshot(table)
+        live = set((cur.get("dirs") or [cur["dir"]])) if cur else set()
+        return sorted(
+            {
+                b
+                for s in manifest["snapshots"]
+                if s["dir"] in live
+                for b in ([s["batch_id"]] if s.get("batch_id") else [])
+                + list(s.get("batch_ids") or [])
+            }
+        )
+
     def compact(self, spark, table: str, stage: str | None = None) -> dict:
         """Rewrite the table's merged view as one clean snapshot — the
         Iceberg rewrite-data-files action that bounds MOR read
@@ -246,21 +263,9 @@ class Catalog:
         never leave a current snapshot that has forgotten which batches
         are live (``batch_appended`` would otherwise double-append on
         retry)."""
-        manifest = self._read_manifest(table) or {"snapshots": []}
-        cur = self.current_snapshot(table)
-        live = set((cur.get("dirs") or [cur["dir"]])) if cur else set()
-        lineage_ids = sorted(
-            {
-                b
-                for s in manifest["snapshots"]
-                if s["dir"] in live
-                for b in ([s["batch_id"]] if s.get("batch_id") else [])
-                + list(s.get("batch_ids") or [])
-            }
-        )
         return self.commit(
             self.read(spark, table), table, stage=stage,
-            batch_ids=lineage_ids or None,
+            batch_ids=self.live_batch_ids(table) or None,
         )
 
     def drop(self, table: str) -> None:

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from kiwi_spark.operators.materialize import materialize_edges, materialize_nodes
 from kiwi_spark.plans.queries import search_entities, search_relationships
+from kiwi_spark.sources.catalog import Catalog
 from kiwi_spark.plans.search_index import (
     build_entity_search_index,
     build_relationship_search_index,
@@ -335,3 +336,150 @@ def test_ivf_build_survives_empty_scan_partitions(spark, tmp_path):
         df, n_cells=3, id_col="entity_id", vec_col="embedding"
     )
     assert assigned.count() == 7 and len(cents) == 3
+
+
+def test_drift_retrain_restores_partial_probe_recall(spark, tmp_path):
+    """VERDICT r5 watch #1: frozen IVF cells silently degrade partial-probe
+    recall when the data distribution drifts (a disjoint-world batch lands
+    after training). The drift trigger must retrain the leg and restore
+    recall; nprobe=all stays exact throughout.
+
+    Construction guarantees the frozen failure: centroids trained on two
+    axis clusters; the new cluster's members alternate a tiny dim-0/dim-1
+    bias, so frozen assignment SPLITS them across the two old cells and a
+    one-cell probe can only ever see half of them."""
+    from kiwi_spark.operators.similarity import _assign_cells, cosine_topk, ivf_topk
+    from kiwi_spark.plans.search_index import (
+        centroid_rows,
+        load_centroids,
+        maybe_retrain_ivf,
+        record_ivf_training,
+    )
+    import numpy as np
+
+    cat = Catalog(str(tmp_path / "wh_drift"))
+
+    def node_rows(prefix, vecs):
+        return [(f"{prefix}{i:03d}", [float(x) for x in v]) for i, v in enumerate(vecs)]
+
+    old_vecs = [[1.0, 0.0, 0.0, 0.0]] * 15 + [[0.0, 1.0, 0.0, 0.0]] * 15
+    old_nodes = spark.createDataFrame(
+        node_rows("a", old_vecs), "entity_id string, embedding array<float>"
+    )
+    cents = np.asarray([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    cat.commit(old_nodes, "nodes", stage="saving")
+    cat.commit(
+        _assign_cells(old_nodes, cents, "embedding").select(
+            F.col("entity_id").alias("vec_id"), "embedding", "cell"
+        ),
+        "entity_ivf", stage="indexing",
+    )
+    # edge leg present but quiescent (drift check must leave it alone)
+    edge_nodes = spark.createDataFrame(
+        node_rows("e", [[0.5, 0.5, 0.0, 0.0]] * 4),
+        "edge_id string, embedding array<float>",
+    )
+    cat.commit(edge_nodes, "edges", stage="saving")
+    cat.commit(
+        _assign_cells(edge_nodes, cents, "embedding").select(
+            F.col("edge_id").alias("vec_id"), "embedding", "cell"
+        ),
+        "edge_ivf", stage="indexing",
+    )
+    cat.commit(
+        centroid_rows(spark, "entity", cents.tolist()).unionByName(
+            centroid_rows(spark, "edge", cents.tolist())
+        ),
+        "ivf_centroids", stage="indexing",
+    )
+    record_ivf_training(cat, 30, 4)
+
+    assert maybe_retrain_ivf(spark, cat) == []  # no drift yet
+
+    # disjoint-world batch: 60 vectors on dim 2, alternating tiny biases
+    new_vecs = [
+        [0.1, 0.0, 2.0, 0.0] if i % 2 == 0 else [0.0, 0.1, 2.0, 0.0]
+        for i in range(60)
+    ]
+    new_nodes = spark.createDataFrame(
+        node_rows("c", new_vecs), "entity_id string, embedding array<float>"
+    )
+    cat.commit(
+        cat.read(spark, "nodes").unionByName(new_nodes), "nodes", stage="saving"
+    )
+    cat.commit(
+        _assign_cells(new_nodes, cents, "embedding").select(
+            F.col("entity_id").alias("vec_id"), "embedding", "cell"
+        ),
+        "entity_ivf", stage="indexing", append=True, batch_id="drift1",
+    )
+
+    q = [0.0, 0.0, 1.0, 0.0]
+
+    def recall_at_10(assigned, centroids, nprobe):
+        exact = {
+            r["vec_id"]
+            for r in cosine_topk(
+                cat.read(spark, "nodes"), q, k=10,
+                id_col="entity_id", vec_col="embedding",
+            ).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(assigned, centroids, q, k=10, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / 10.0
+
+    frozen_assigned = cat.read(spark, "entity_ivf")
+    frozen_recall = recall_at_10(frozen_assigned, cents.tolist(), nprobe=1)
+    assert frozen_recall == 0.5  # the guaranteed split
+
+    # n_cells=3 over {axis-A, axis-B, drift-C}: the Lloyd rebuild settles
+    # one centroid per cluster (seeded sample + first-max tie rule →
+    # deterministic), so the one-cell probe now sees ALL of C
+    retrained = maybe_retrain_ivf(spark, cat, n_cells=3)
+    assert retrained == ["entity"]  # edge leg untouched
+    assert int(cat.current_snapshot("edge_ivf")["id"]) == 1
+
+    new_cents = load_centroids(cat.read(spark, "ivf_centroids"), "entity")
+    new_assigned = cat.read(spark, "entity_ivf")
+    retrained_recall = recall_at_10(new_assigned, new_cents, nprobe=1)
+    assert retrained_recall == 1.0 > frozen_recall
+    # nprobe = all cells stays exact after retrain
+    assert recall_at_10(new_assigned, new_cents, nprobe=len(new_cents)) == 1.0
+    # trained counts updated → immediately re-checking is a no-op
+    assert maybe_retrain_ivf(spark, cat) == []
+    # batch lineage carried through the clean retrain snapshot: the
+    # pre-retrain batch still reads as appended (retry would skip)
+    assert cat.batch_appended("entity_ivf", "drift1")
+
+
+def test_incremental_growth_triggers_retrain(spark, tmp_path):
+    """Integration: tripling the corpus through incremental_add crosses
+    IVF_DRIFT_THRESHOLD — the delta index maintenance must retrain the
+    drifted legs and the indexed search must stay parity afterwards."""
+    from kiwi_spark.pipeline import incremental_add, run_pipeline
+    from kiwi_spark.plans.search_index import search_entities_auto
+    from kiwi_spark.sources.pages import pages_df
+
+    wh = str(tmp_path / "wh_grow")
+    base = pages_df(spark, 10, seed=67, partitions=2)
+    batch = pages_df(spark, 30, seed=67, partitions=2, start=10)
+    run_pipeline(spark, base, wh, collect_lineage=False, build_search_index=True)
+    cat = Catalog(wh)
+    cat.set_property("ivf_drift_threshold", 0.1)  # the operational knob
+    trained_before = dict(cat.get_property("ivf_trained_rows"))
+    cents_snap_before = cat.current_snapshot("ivf_centroids")["id"]
+
+    incremental_add(spark, batch, wh)
+
+    trained_after = dict(cat.get_property("ivf_trained_rows"))
+    assert trained_after["entity"] > trained_before["entity"]
+    assert cat.current_snapshot("ivf_centroids")["id"] > cents_snap_before
+    assert trained_after["entity"] == cat.read(spark, "entity_ivf").count()
+
+    nodes = cat.read(spark, "nodes")
+    term = nodes.select("name").first()["name"]
+    via_index = search_entities_auto(spark, cat, nodes, term, limit=5).collect()
+    full_scan = search_entities(nodes, term, limit=5).collect()
+    assert [tuple(r) for r in via_index] == [tuple(r) for r in full_scan]
