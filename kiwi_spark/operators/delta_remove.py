@@ -73,7 +73,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .delta_link import delta_search_index
+from .delta_link import _pruned, delta_search_index, touched_buckets
 from .link import (
     aggregate_edges,
     canonical_nodes,
@@ -130,15 +130,21 @@ def removal_sets(
             .unionByName(e_r)
             .distinct()
         )
+        view_buckets = cat.get_property("doc_view_buckets")
+        bs0 = (
+            touched_buckets(e_t, "entity_id", int(view_buckets))
+            if view_buckets else None
+        )
         edges_doc = cat.read(spark, "edges_doc")
         touched_edges = (
-            edges_doc.join(
+            _pruned(edges_doc, "sb", bs0)
+            .join(
                 e_t.withColumnRenamed("entity_id", "src_id"), "src_id",
                 "leftsemi",
             )
             .select("edge_id")
             .unionByName(
-                edges_doc.join(
+                _pruned(edges_doc, "db", bs0).join(
                     e_t.withColumnRenamed("entity_id", "dst_id"), "dst_id",
                     "leftsemi",
                 ).select("edge_id")
@@ -175,9 +181,7 @@ def _mask_by(spark, cat, table: str, keys: DataFrame, on: list[str],
     from all earlier snapshots (written bytes = the key set only)."""
     if cat.batch_appended(table, batch_id):
         return
-    empty = spark.createDataFrame(
-        [], spark.read.parquet(*cat.paths(table)).schema
-    )
+    empty = spark.createDataFrame([], cat.table_schema(spark, table))
     cat.commit(empty, table, stage=stage, append=True, batch_id=batch_id,
                delete_keys=keys, delete_on=on)
 
@@ -215,11 +219,22 @@ def delta_unlink(
     _mask_by(spark, cat, "link_keys", e_r, ["entity_id"], batch_id, "deleting")
     stats.timings["mask_docs"] = round(_time.time() - t0, 3)
 
-    # --- recompute the touched groups from the SURVIVING doc rows --------
+    # --- recompute the touched groups from the SURVIVING doc rows.
+    # Touched-bucket pre-filters prune the doc-view scans (partition dirs
+    # for eb/sb/mb, row-group stats for db) exactly as in the add path.
     t0 = _time.time()
+    view_buckets = cat.get_property("doc_view_buckets")
+    bs = (
+        touched_buckets(e_t, "entity_id", int(view_buckets))
+        if view_buckets else None
+    )
+    ebs = (
+        touched_buckets(touched_edge_ids, "edge_id", int(view_buckets))
+        if view_buckets else None
+    )
     survivors = e_t.join(e_r, "entity_id", "leftanti")
     touched_nodes_doc = (
-        cat.read(spark, "nodes_doc")
+        _pruned(cat.read(spark, "nodes_doc"), "eb", bs)
         .join(survivors, "entity_id", "leftsemi")
         .localCheckpoint(eager=False)
     )
@@ -233,8 +248,18 @@ def delta_unlink(
         )
     id_map_new = cat.read(spark, "id_map")
 
-    surviving_touched_edges = cat.read(spark, "edges_doc").join(
-        touched_edge_ids, "edge_id", "leftsemi"
+    # every touched edge has an endpoint in E_t, so the id semi-join only
+    # needs the union of the two bucket-pruned endpoint legs
+    edges_doc = cat.read(spark, "edges_doc")
+    surviving_touched_edges = (
+        _pruned(edges_doc, "sb", bs)
+        .join(touched_edge_ids, "edge_id", "leftsemi")
+        .unionByName(
+            _pruned(edges_doc, "db", bs).join(
+                touched_edge_ids, "edge_id", "leftsemi"
+            )
+        )
+        .dropDuplicates(["edge_id"])
     )
     er = rewrite_edges(surviving_touched_edges, id_map_new)
     edges_delta = aggregate_edges(er).localCheckpoint(eager=False)
@@ -242,9 +267,12 @@ def delta_unlink(
 
     mentions_doc = cat.read(spark, "mentions_doc")
     touched_mentions_doc = (
-        mentions_doc.join(survivors, "entity_id", "leftsemi")
+        _pruned(mentions_doc, "mb", bs)
+        .join(survivors, "entity_id", "leftsemi")
         .unionByName(
-            mentions_doc.join(touched_edge_ids, "edge_id", "leftsemi")
+            _pruned(mentions_doc, "mb", ebs).join(
+                touched_edge_ids, "edge_id", "leftsemi"
+            )
         )
         .dropDuplicates(["mention_id"])
     )

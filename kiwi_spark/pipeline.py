@@ -25,7 +25,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators.build_graph import explode_graph, explode_units, graph_rows_df
+from .operators.build_graph import (
+    explode_graph,
+    explode_units,
+    graph_rows_df,
+    with_doc_view_buckets,
+)
 from .operators.extract_text import extract_text
 from .operators.link import canonicalize, entity_id_map
 from .operators.materialize import (
@@ -44,11 +49,15 @@ def _parallel_commits(cat: Catalog, jobs: list[tuple]) -> None:
     per-table (atomic os.replace flip each); Spark schedules the concurrent
     write jobs across idle task slots, overlapping the per-job fixed
     latency that otherwise serializes (the dominant cost of the views and
-    graph stages at high core counts)."""
+    graph stages at high core counts). A job tuple is
+    (df, table, stage[, commit-kwargs])."""
     with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
         futures = [
-            pool.submit(cat.commit, df, table, stage=stage_name)
-            for df, table, stage_name in jobs
+            pool.submit(
+                cat.commit, job[0], job[1], stage=job[2],
+                **(job[3] if len(job) > 3 else {}),
+            )
+            for job in jobs
         ]
         for future in futures:
             future.result()
@@ -139,16 +148,22 @@ def run_pipeline(
     # explodes); every downstream stage reads these small flat tables
     # instead of re-scanning the heavy nested table
     def _views():
-        n, e, m = explode_graph(raw_graph)
+        n, e, m = with_doc_view_buckets(*explode_graph(raw_graph), n_buckets)
         _parallel_commits(
             cat,
             [
                 (explode_units(raw_graph.select("units")), "units", "chunking"),
-                (n, "nodes_doc", "extracting"),
-                (e, "edges_doc", "extracting"),
-                (m, "mentions_doc", "extracting"),
+                (n, "nodes_doc", "extracting", {"partition_by": ["eb"]}),
+                (
+                    e, "edges_doc", "extracting",
+                    {"partition_by": ["sb"], "sort_within": ["db"]},
+                ),
+                (m, "mentions_doc", "extracting", {"partition_by": ["mb"]}),
             ],
         )
+        # the bucket count the views' layout was written with — delta
+        # batches derive their touched-bucket pruning filters from it
+        cat.set_property("doc_view_buckets", n_buckets)
 
     stage("views", _views, ["units", "nodes_doc", "edges_doc", "mentions_doc"])
 
@@ -311,6 +326,11 @@ def incremental_add(
     raw_new = spark.read.parquet(*cat.batch_paths("raw_graph", batch_id))
     _append(lambda: explode_units(raw_new.select("units")), "units", "chunking")
     n, e, m = explode_graph(raw_new)
+    # match the views' bucketed layout (absent on pre-round-6 warehouses);
+    # the catalog re-applies the stored partition spec on every append
+    view_buckets = cat.get_property("doc_view_buckets")
+    if view_buckets:
+        n, e, m = with_doc_view_buckets(n, e, m, int(view_buckets))
     _append(lambda: n, "nodes_doc", "extracting")
     _append(lambda: e, "edges_doc", "extracting")
     _append(lambda: m, "mentions_doc", "extracting")

@@ -95,8 +95,21 @@ class Catalog:
                append: bool = False, batch_id: str | None = None,
                delete_keys=None, delete_on: list[str] | None = None,
                batch_ids: list[str] | None = None,
-               delete_sets: list[tuple] | None = None) -> dict:
+               delete_sets: list[tuple] | None = None,
+               partition_by: list[str] | None = None,
+               sort_within: list[str] | None = None) -> dict:
         """Write df as the next snapshot of `table`, then flip the manifest.
+
+        ``partition_by`` declares the table's physical layout (the Iceberg
+        partition-spec analog, e.g. ``bucket(entity_id)`` materialized as a
+        hash column): the first commit that passes it records the spec in
+        the manifest, and EVERY later commit — appends, pure-delete
+        commits, compaction — re-applies it automatically, so the layout
+        survives the table's whole lifecycle. The write clusters rows
+        (repartition on the spec columns, optional ``sort_within`` for
+        row-group stats on a secondary key) and writes hive-style
+        partition dirs, giving readers partition-pruned scans for
+        ``col IN (...)`` probes (the delta paths' touched-bucket filters).
 
         ``append=True`` writes only df's rows into the new snapshot dir and
         the snapshot references the previous snapshot's dirs as well —
@@ -128,13 +141,26 @@ class Catalog:
         ):
             raise ValueError("delete sets require append=True and key columns")
         manifest = self._read_manifest(table) or {"current": None, "snapshots": []}
+        if partition_by:
+            manifest["partition_by"] = list(partition_by)
+            if sort_within:
+                manifest["sort_within"] = list(sort_within)
+        layout = manifest.get("partition_by")
         next_id = (
             max((s["id"] for s in manifest["snapshots"]), default=0) + 1
         )
         snap_dir = f"snap-{next_id:05d}"
         out = os.path.join(self.warehouse, table, snap_dir)
         started = time.time()
-        df.write.mode("overwrite").parquet(out)
+        if layout:
+            clustered = df.repartition(*layout)
+            if manifest.get("sort_within"):
+                clustered = clustered.sortWithinPartitions(
+                    *manifest["sort_within"]
+                )
+            clustered.write.mode("overwrite").partitionBy(*layout).parquet(out)
+        else:
+            df.write.mode("overwrite").parquet(out)
         for i, (keys_df, cols) in enumerate(all_deletes):
             suffix = f"-deletes{i if i else ''}"
             keys_df.select(*cols).write.mode("overwrite").parquet(
@@ -204,13 +230,50 @@ class Catalog:
             if s.get("batch_id") == batch_id
         ]
 
+    @staticmethod
+    def _dir_has_data(path: str) -> bool:
+        """True iff the dir holds at least one parquet data file. A
+        partitioned write of zero rows emits no partition dirs at all
+        (just _SUCCESS) — such dirs must be skipped at read time."""
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def table_schema(self, spark, table: str):
+        """Schema of the table from its first data-bearing snapshot dir
+        (partition columns included via discovery)."""
+        for path in self.paths(table):
+            if self._dir_has_data(path):
+                return spark.read.parquet(path).schema
+        raise FileNotFoundError(f"table {table!r} has no data files")
+
+    def _read_paths(self, spark, table: str, paths: list[str],
+                    layout: list[str] | None):
+        """One DataFrame over several snapshot dirs. Partitioned tables
+        must be read per root dir and unioned (Spark's partition discovery
+        rejects multiple roots), which also keeps per-scan
+        PartitionFilters pushdown; dataless dirs are skipped."""
+        if not layout:
+            return spark.read.parquet(*paths)
+        out = None
+        for path in paths:
+            if not self._dir_has_data(path):
+                continue
+            part = spark.read.parquet(path)
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return spark.createDataFrame([], self.table_schema(spark, table))
+        return out
+
     def read(self, spark, table: str):
         snap = self.current_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot for table {table!r}")
+        layout = (self._read_manifest(table) or {}).get("partition_by")
         deletes = snap.get("deletes") or []
         if not deletes:
-            return spark.read.parquet(*self.paths(table))
+            return self._read_paths(spark, table, self.paths(table), layout)
         # merge-on-read: equality deletes mask rows from snapshots OLDER
         # than the delete (Iceberg sequence-number semantics) — a commit
         # that deletes key K and appends new K rows keeps the new rows.
@@ -227,7 +290,7 @@ class Catalog:
             )
         out = None
         for applicable, paths in sorted(by_delset.items()):
-            part = spark.read.parquet(*paths)
+            part = self._read_paths(spark, table, paths, layout)
             for i in applicable:
                 dl = deletes[i]
                 keys = spark.read.parquet(
