@@ -391,6 +391,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def kg_build_graph_fuzzy(spark, sf):  # fuzzy cross-doc linking vs golden
         return _kg_edges(spark, 60, link_mode="fuzzy")
 
+    def kg_remove_equals_complement(spark, sf):
+        """Document removal (delete-file.ts parity): build a warehouse on
+        30 pages, incremental_remove the last 12 urls, and return the
+        SYMMETRIC DIFFERENCE of (subj,pred,obj,strength,n_sources) edge
+        triples vs a from-scratch build on the 18 complement pages. The
+        oracle is the EMPTY SET: the removal contract is provable
+        equality, so any row here is a correctness failure the driver's
+        hash check will catch. Results are materialized driver-side
+        (bounded: edge-triple count of a 30-page corpus) so the temp
+        warehouse can be cleaned before returning."""
+        import shutil
+        import tempfile
+
+        from kiwi_spark.pipeline import incremental_remove, run_pipeline
+        from kiwi_spark.sources.catalog import Catalog
+        from kiwi_spark.sources.pages import pages_df
+
+        root = tempfile.mkdtemp(prefix="kg_remove_")
+        try:
+            pages = pages_df(spark, 30, seed=42, partitions=4)
+            keep = pages.where(F.col("url") < "https://r")
+            drop = pages.where(F.col("url") >= "https://r")
+            run_pipeline(spark, pages, f"{root}/wh", collect_lineage=False)
+            incremental_remove(spark, drop.select("url"), f"{root}/wh")
+            run_pipeline(spark, keep, f"{root}/ref", collect_lineage=False)
+
+            def triples(wh):
+                cat = Catalog(wh)
+                nodes = cat.read(spark, "nodes")
+                src = nodes.select(F.col("entity_id").alias("src_id"),
+                                   F.col("name").alias("subj"))
+                dst = nodes.select(F.col("entity_id").alias("dst_id"),
+                                   F.col("name").alias("obj"))
+                return (
+                    cat.read(spark, "edges")
+                    .join(src, "src_id").join(dst, "dst_id")
+                    .select("subj", "pred", "obj",
+                            F.round("strength", 2).alias("strength"),
+                            "n_sources")
+                )
+
+            got, ref = triples(f"{root}/wh"), triples(f"{root}/ref")
+            diff_rows = (
+                got.exceptAll(ref).withColumn("side", F.lit("removed"))
+                .unionByName(
+                    ref.exceptAll(got).withColumn("side", F.lit("complement"))
+                )
+                .collect()
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame(
+            diff_rows,
+            "subj string, pred string, obj string, strength double, "
+            "n_sources bigint, side string",
+        )
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -419,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": similarity_ivf,
         "kg_build_graph": kg_build_graph,
         "kg_build_graph_fuzzy": kg_build_graph_fuzzy,
+        "kg_remove_equals_complement": kg_remove_equals_complement,
     }
 
 
@@ -944,5 +1002,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, pred, obj, strength
             FROM read_parquet('{goldens}/kg_golden_fuzzy.parquet')
             ORDER BY subj, pred, obj
+        """,
+        # document removal: remove(urls) provably equals a from-scratch
+        # build on the complement corpus, so the Spark side returns the
+        # SYMMETRIC DIFFERENCE of the two edge-triple sets and the oracle
+        # is the empty relation with the same schema — any divergence
+        # fails the driver's row/hash compare.
+        "kg_remove_equals_complement": """
+            SELECT CAST(NULL AS VARCHAR) AS subj,
+                   CAST(NULL AS VARCHAR) AS pred,
+                   CAST(NULL AS VARCHAR) AS obj,
+                   CAST(NULL AS DOUBLE) AS strength,
+                   CAST(NULL AS BIGINT) AS n_sources,
+                   CAST(NULL AS VARCHAR) AS side
+            WHERE FALSE
         """,
     }
