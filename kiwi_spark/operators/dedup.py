@@ -65,7 +65,9 @@ def _spread(df: DataFrame) -> DataFrame:
     and this is a no-op (no shuffle added).
 
     The split count is estimated from file metadata with Spark's own
-    bin-packing formula — ceil(Σ(size + openCost) / maxPartitionBytes) —
+    split-sizing formula (FilePartition.maxSplitBytes) —
+    ``maxSplit = min(maxPartitionBytes, max(openCost, totalWithCost /
+    defaultParallelism))``, splits ≈ ceil(totalWithCost / maxSplit) —
     instead of an RDD getNumPartitions probe (VERDICT r5 wrong #3): the
     RDD probe forces a plan-to-RDD conversion, while file sizes are exactly
     the stats an Iceberg manifest (or HDFS listing) serves for free.
@@ -84,7 +86,7 @@ def _spread(df: DataFrame) -> DataFrame:
                     return int(float(raw.rstrip("b").rstrip(suffix))) * mult
             return int(raw.rstrip("b") or default)
 
-        max_split = _size_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
+        max_partition = _size_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
         open_cost = _size_conf("spark.sql.files.openCostInBytes", 4 << 20)
         total = 0
         for path in files:
@@ -93,6 +95,9 @@ def _spread(df: DataFrame) -> DataFrame:
                 total += os.path.getsize(local) + open_cost
             except OSError:
                 total += open_cost
+        max_split = min(
+            max_partition, max(open_cost, total // max(1, target))
+        )
         est_splits = max(1, -(-total // max(1, max_split)))
         if est_splits >= target:
             return df
