@@ -112,6 +112,7 @@ def _ogg_pages(data: bytes):
     while pos + 27 <= len(data):
         if data[pos : pos + 4] != b"OggS":
             return
+        bos = bool(data[pos + 5] & 0x02)  # header-type: beginning-of-stream
         (granule,) = struct.unpack_from("<q", data, pos + 6)
         (serial,) = struct.unpack_from("<I", data, pos + 14)
         n_segs = data[pos + 26]
@@ -122,7 +123,7 @@ def _ogg_pages(data: bytes):
         body_len = sum(lacing)
         if body_start + body_len > len(data):
             return
-        yield serial, granule, data[body_start : body_start + body_len]
+        yield serial, granule, data[body_start : body_start + body_len], bos
         pos = body_start + body_len
 
 
@@ -152,31 +153,54 @@ def probe_ogg(data: bytes):
         return None
     streams: dict[int, dict] = {}   # serial → {ident, last, chain_ms}
     order: list[int] = []
-    for serial, granule, body in _ogg_pages(data):
+
+    def _bank(entry):
+        """Fold the finished chain segment's duration into the running
+        total and reset the live-granule clock for the next segment."""
+        _c, _r, _ch, clock, pre_skip = entry["ident"]
+        if entry["last"] is not None and clock:
+            entry["chain_ms"] += (
+                max(0, entry["last"] - pre_skip) * 1000.0 / clock
+            )
+        entry["last"] = None
+
+    for serial, granule, body, bos in _ogg_pages(data):
         if serial not in streams:
             ident = _ogg_ident(body)
             if ident is None:
                 continue  # non-audio (e.g. skeleton) stream — ignore
-            streams[serial] = {"ident": ident, "last": None, "chain_ms": 0.0}
+            # `report` keeps the FIRST chain's ident for the returned
+            # codec/rate/channels; `ident` tracks the LIVE chain's
+            # clock/pre-skip for duration accounting
+            streams[serial] = {
+                "ident": ident, "report": ident, "last": None, "chain_ms": 0.0,
+            }
             order.append(serial)
             continue
+        entry = streams[serial]
+        if bos:
+            # chained stream REUSING the serial (legal per RFC 3533 §4 —
+            # serials need only be unique within a chain segment): the
+            # BOS flag is the authoritative segment boundary — it fires
+            # even when the new segment's first granule exceeds the old
+            # segment's last (where a regression check stays silent).
+            # Bank the finished segment and adopt the new ident so the
+            # next granules use the new segment's clock/pre-skip.
+            _bank(entry)
+            new_ident = _ogg_ident(body)
+            if new_ident is not None:
+                entry["ident"] = new_ident
+            continue
         if granule >= 0:
-            entry = streams[serial]
             if entry["last"] is not None and granule < entry["last"]:
-                # chained stream REUSING the serial number (legal per
-                # RFC 3533 §4 — serials need only be unique within a
-                # chain segment): the granule restarting means a new
-                # segment started, so bank the finished segment's
-                # duration instead of letting the restart overwrite it
-                _c, _r, _ch, clock, pre_skip = entry["ident"]
-                if clock:
-                    entry["chain_ms"] += (
-                        max(0, entry["last"] - pre_skip) * 1000.0 / clock
-                    )
+                # fallback boundary signal for captures whose BOS page
+                # was truncated away: a granule can never regress within
+                # one segment
+                _bank(entry)
             entry["last"] = granule
     if not order:
         return None
-    codec, rate, channels, _clock, _skip = streams[order[0]]["ident"]
+    codec, rate, channels, _clock, _skip = streams[order[0]]["report"]
     total_ms = 0.0
     any_granule = False
     for serial in order:

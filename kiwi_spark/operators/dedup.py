@@ -81,10 +81,17 @@ def _spread(df: DataFrame) -> DataFrame:
     if files:
         def _size_conf(key: str, default: int) -> int:
             raw = str(spark.conf.get(key, str(default))).lower()
-            for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
-                if raw.endswith(suffix + "b") or raw.endswith(suffix):
-                    return int(float(raw.rstrip("b").rstrip(suffix))) * mult
-            return int(raw.rstrip("b") or default)
+            suffixes = (
+                ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+                ("m", 1 << 20), ("k", 1 << 10),
+            )
+            try:
+                for suffix, mult in suffixes:
+                    if raw.endswith(suffix + "b") or raw.endswith(suffix):
+                        return int(float(raw.rstrip("b").rstrip(suffix))) * mult
+                return int(raw.rstrip("b") or default)
+            except ValueError:
+                return default  # unknown unit string — Spark's parser owns it
 
         max_partition = _size_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
         open_cost = _size_conf("spark.sql.files.openCostInBytes", 4 << 20)

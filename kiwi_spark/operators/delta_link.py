@@ -492,11 +492,7 @@ def delta_search_index(
         snap = cat.current_snapshot(table)
         if len(snap.get("deletes") or []) >= INDEX_COMPACT_AFTER:
             cat.compact(spark, table, stage="indexing")
-
-    # centroid-drift check (VERDICT r5 watch #1): when sustained
-    # ingestion/removal moved a leg's vector count past the threshold,
-    # retrain its cells from the live table (partial-probe recall decays
-    # on frozen centroids; nprobe=all stays exact either way)
-    from ..plans.search_index import maybe_retrain_ivf
-
-    maybe_retrain_ivf(spark, cat)
+    # the centroid-drift check runs in the CALLER (incremental_add /
+    # incremental_remove) after the final table counts — live IVF rows
+    # equal the canonical nodes/edges counts those paths already compute,
+    # so the check costs zero extra Spark jobs here

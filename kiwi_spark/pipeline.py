@@ -148,6 +148,12 @@ def run_pipeline(
     # explodes); every downstream stage reads these small flat tables
     # instead of re-scanning the heavy nested table
     def _views():
+        # property BEFORE the commits: a crash after all four views are
+        # committed but before the property write would otherwise leave a
+        # resume=True warehouse whose manifests declare the layout while
+        # incremental batches (gated on the property) never add the bucket
+        # columns — failing every later append
+        cat.set_property("doc_view_buckets", n_buckets)
         n, e, m = with_doc_view_buckets(*explode_graph(raw_graph), n_buckets)
         _parallel_commits(
             cat,
@@ -161,9 +167,6 @@ def run_pipeline(
                 (m, "mentions_doc", "extracting", {"partition_by": ["mb"]}),
             ],
         )
-        # the bucket count the views' layout was written with — delta
-        # batches derive their touched-bucket pruning filters from it
-        cat.set_property("doc_view_buckets", n_buckets)
 
     stage("views", _views, ["units", "nodes_doc", "edges_doc", "mentions_doc"])
 
@@ -302,9 +305,13 @@ def incremental_add(
         F.bit_xor(F.xxhash64("url")).alias("h"), F.count("*").alias("n")
     ).first()
     epoch = int(cat.get_property("removal_epoch", 0))
-    batch_id = (
-        f"b{(sig['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{sig['n']}-e{epoch}"
-    )
+    base_id = f"b{(sig['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{sig['n']}"
+    batch_id = f"{base_id}-e{epoch}"
+    if epoch == 0 and cat.batch_appended("text", base_id):
+        # pre-round-6 warehouses tagged batches WITHOUT the epoch suffix;
+        # a retry of such a batch must keep its original id or every
+        # idempotency check would miss and double-append its rows
+        batch_id = base_id
 
     def _append(df_builder, table: str, stage: str):
         if cat.batch_appended(table, batch_id):
@@ -396,7 +403,24 @@ def incremental_add(
 
     for table in ("nodes", "edges", "mentions"):
         result.counts[table] = cat.read(spark, table).count()
+    _maybe_retrain_ivf(spark, cat, result)
     return result
+
+
+def _maybe_retrain_ivf(spark, cat: Catalog, result: PipelineResult) -> None:
+    """Centroid-drift check (VERDICT r5 watch #1) — free: live IVF rows
+    equal the canonical nodes/edges counts the batch just computed."""
+    from .plans.search_index import has_search_index, maybe_retrain_ivf
+
+    if not has_search_index(cat):
+        return
+    retrained = maybe_retrain_ivf(
+        spark, cat,
+        live_counts={"entity": result.counts.get("nodes", 0),
+                     "edge": result.counts.get("edges", 0)},
+    )
+    if retrained:
+        result.counts["ivf_retrained"] = retrained
 
 
 # tables whose append/delete chains the per-batch compaction bounds
@@ -497,4 +521,10 @@ def incremental_remove(
 
     for table in ("nodes", "edges", "mentions"):
         result.counts[table] = cat.read(spark, table).count()
+    _maybe_retrain_ivf(spark, cat, result)
+
+    # the removal's decision sets are dead once the epoch advanced (only
+    # an in-flight retry of THIS batch ever reads them); dropping the
+    # table bounds its otherwise-monotonic growth under sustained removal
+    cat.drop("removal_sets")
     return result

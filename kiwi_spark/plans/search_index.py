@@ -351,7 +351,8 @@ def record_ivf_training(cat, entity_rows: int, edge_rows: int) -> None:
 
 
 def maybe_retrain_ivf(spark, cat, threshold: float = IVF_DRIFT_THRESHOLD,
-                      n_cells: int = 16, seed: int = 5) -> list[str]:
+                      n_cells: int = 16, seed: int = 5,
+                      live_counts: dict | None = None) -> list[str]:
     """Retrain drifted IVF legs (returns the kinds retrained, [] if none).
 
     Incremental batches assign new vectors to FROZEN cells — exactly how
@@ -381,9 +382,26 @@ def maybe_retrain_ivf(spark, cat, threshold: float = IVF_DRIFT_THRESHOLD,
     drifted = []
     counts = {}
     for kind, (ivf_table, _src, _id) in plans.items():
-        cur = cat.read(spark, ivf_table).count()
+        # live assignment rows ≡ live canonical rows (the delta paths
+        # append/mask them in lockstep — pinned by the no-stale-ids
+        # parity tests), so callers that already counted nodes/edges pass
+        # those in and the check costs no extra Spark jobs
+        if live_counts is not None and kind in live_counts:
+            cur = int(live_counts[kind])
+        else:
+            cur = cat.read(spark, ivf_table).count()
         counts[kind] = cur
         t = int(trained.get(kind, 0))
+        if cur == 0:
+            # an emptied leg has nothing to train on — record the count
+            # (so the next growth re-triggers) and leave the stale
+            # centroids in place (queries over zero assignments are empty)
+            if t != 0:
+                trained[kind] = 0
+                record_ivf_training(
+                    cat, trained.get("entity", 0), trained.get("edge", 0)
+                )
+            continue
         if t <= 0 or abs(cur - t) > threshold * max(t, 1):
             drifted.append(kind)
     if not drifted:

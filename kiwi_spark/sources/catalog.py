@@ -145,6 +145,10 @@ class Catalog:
             manifest["partition_by"] = list(partition_by)
             if sort_within:
                 manifest["sort_within"] = list(sort_within)
+        # the schema rides in the manifest so a table whose every live
+        # data file has been masked away (possible on partitioned tables,
+        # where an empty write emits no files at all) stays readable
+        manifest["schema"] = df.schema.jsonValue()
         layout = manifest.get("partition_by")
         next_id = (
             max((s["id"] for s in manifest["snapshots"]), default=0) + 1
@@ -242,10 +246,17 @@ class Catalog:
 
     def table_schema(self, spark, table: str):
         """Schema of the table from its first data-bearing snapshot dir
-        (partition columns included via discovery)."""
+        (partition columns included via discovery), falling back to the
+        manifest's recorded schema when no live dir holds data files
+        (e.g. a fully-masked-then-compacted partitioned table)."""
         for path in self.paths(table):
             if self._dir_has_data(path):
                 return spark.read.parquet(path).schema
+        recorded = (self._read_manifest(table) or {}).get("schema")
+        if recorded:
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(recorded)
         raise FileNotFoundError(f"table {table!r} has no data files")
 
     def _read_paths(self, spark, table: str, paths: list[str],

@@ -238,3 +238,82 @@ def test_remove_maintains_search_index(spark, tmp_path):
         via_index = search_entities_auto(spark, cat, nodes, term, limit=5).collect()
         full_scan = search_entities(nodes, term, limit=5).collect()
         assert [tuple(r) for r in via_index] == [tuple(r) for r in full_scan]
+
+
+def test_remove_everything_on_indexed_warehouse(spark, tmp_path):
+    """Review finding (round 6): emptying an INDEXED warehouse must not
+    crash the drift check (ivf_build on an empty source) nor leave the
+    emptied partitioned views unreadable after compaction; a follow-up
+    removal and a re-add must still work."""
+    from kiwi_spark.plans.search_index import has_search_index, search_entities_auto
+
+    wh = str(tmp_path / "wh")
+    pages = pages_df(spark, 14, seed=73, partitions=2)
+    run_pipeline(spark, pages, wh, collect_lineage=False, build_search_index=True)
+    cat = Catalog(wh)
+
+    # aggressive compaction so the emptied tables get rewritten too
+    result = incremental_remove(
+        spark, pages.select("url"), wh, compact_appends_after=2
+    )
+    assert result.counts["nodes"] == 0 and result.counts["edges"] == 0
+    assert has_search_index(cat)
+    trained = cat.get_property("ivf_trained_rows")
+    assert trained["entity"] == 0  # empty leg recorded, not retrained
+
+    # emptied (and possibly compacted) views stay readable
+    for table in ("nodes_doc", "edges_doc", "mentions_doc", "text"):
+        assert cat.read(spark, table).count() == 0
+    # search over the empty graph returns empty, no crash
+    empty = search_entities_auto(spark, cat, cat.read(spark, "nodes"), "ANY")
+    assert empty.count() == 0
+
+    # a ghost removal on the emptied warehouse is a no-op (removal_sets
+    # recomputation reads the emptied views via the schema fallback)
+    ghost = spark.createDataFrame([("https://nowhere/y",)], "url string")
+    incremental_remove(spark, ghost, wh)
+
+    # re-ingestion resurrects the graph (epoch-fenced batch ids)
+    result = incremental_add(spark, pages, wh)
+    assert result.counts["nodes"] > 0
+    wh_ref = str(tmp_path / "ref")
+    run_pipeline(spark, pages, wh_ref, collect_lineage=False)
+    assert _graph_signature(spark, wh) == _graph_signature(spark, wh_ref)
+
+
+def test_pre_epoch_batch_retry_not_double_appended(spark, tmp_path):
+    """Review finding (round 6): warehouses written before the epoch
+    suffix existed tagged batches as 'b<hash>-<n>'. Retrying such a batch
+    after the upgrade must keep the original id — otherwise every
+    idempotency check misses and the rows double-append."""
+    import json
+
+    wh = str(tmp_path / "wh")
+    all_pages = pages_df(spark, 24, seed=79, partitions=2)
+    base = all_pages.where(F.col("url") < "https://s")
+    batch = all_pages.where(F.col("url") >= "https://s")
+    run_pipeline(spark, base, wh, collect_lineage=False)
+    incremental_add(spark, batch, wh)
+    cat = Catalog(wh)
+    sig = _graph_signature(spark, wh)
+    n_text = cat.read(spark, "text").count()
+
+    # simulate the pre-round-6 warehouse: strip the epoch suffix from
+    # every batch tag and drop the epoch property
+    for table in cat.tables():
+        path = cat._manifest_path(table)
+        manifest = json.load(open(path))
+        for snap in manifest["snapshots"]:
+            if snap.get("batch_id", "").endswith("-e0"):
+                snap["batch_id"] = snap["batch_id"][: -len("-e0")]
+            if snap.get("batch_ids"):
+                snap["batch_ids"] = [
+                    b[: -len("-e0")] if b.endswith("-e0") else b
+                    for b in snap["batch_ids"]
+                ]
+        json.dump(manifest, open(path, "w"))
+
+    retry = incremental_add(spark, batch, wh)  # the legacy retry
+    assert "text_append" in retry.stages_skipped
+    assert cat.read(spark, "text").count() == n_text
+    assert _graph_signature(spark, wh) == sig
