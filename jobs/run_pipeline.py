@@ -57,6 +57,12 @@ def main() -> int:
              "(the reference's delete-file workflow): masks their doc "
              "rows and recomputes only the touched canonical groups",
     )
+    parser.add_argument(
+        "--update", action="store_true",
+        help="REPLACE the given pages in an existing warehouse (the "
+             "reference's re-upload flow): remove their urls, then "
+             "ingest the new content incrementally",
+    )
     args = parser.parse_args()
 
     if not args.input and not args.synthesize:
@@ -92,9 +98,12 @@ def main() -> int:
     if args.incremental and args.resume:
         parser.error("--incremental batches are retry-idempotent by "
                      "batch id; --resume only applies to full runs")
-    if args.remove and (args.incremental or args.resume):
-        parser.error("--remove is its own batch kind (retry-idempotent); "
-                     "combine with --input/--synthesize only")
+    if (args.remove or args.update) and (args.incremental or args.resume):
+        parser.error("--remove/--update are their own batch kinds "
+                     "(retry-idempotent); combine with --input/"
+                     "--synthesize only")
+    if args.remove and args.update:
+        parser.error("--remove and --update are mutually exclusive")
 
     started = time.time()
     if args.remove:
@@ -103,6 +112,16 @@ def main() -> int:
         result = incremental_remove(
             spark,
             pages.select("url"),
+            args.warehouse,
+            link_mode=args.link_mode,
+            n_buckets=args.buckets,
+        )
+    elif args.update:
+        from kiwi_spark.pipeline import incremental_update
+
+        result = incremental_update(
+            spark,
+            pages,
             args.warehouse,
             link_mode=args.link_mode,
             n_buckets=args.buckets,

@@ -423,6 +423,41 @@ def _maybe_retrain_ivf(spark, cat: Catalog, result: PipelineResult) -> None:
         result.counts["ivf_retrained"] = retrained
 
 
+def incremental_update(
+    spark: SparkSession,
+    pages: DataFrame,
+    warehouse: str,
+    link_mode: str = "parity",
+    n_buckets: int = 32,
+    compact_appends_after: int = APPEND_COMPACT_AFTER,
+) -> PipelineResult:
+    """Replace documents in place — the reference's re-upload flow (a
+    changed file is delete-file'd then re-processed; there is no in-place
+    mutation in the reference either). Composition of
+    ``incremental_remove(urls)`` + ``incremental_add(pages)``: the
+    removal's epoch bump gives the re-add a fresh batch id, and each leg
+    keeps its own retry idempotency (a crash between the legs resumes by
+    re-running the update — the completed removal replays as a no-op).
+    Result ≡ a from-scratch build where these urls carry the new content
+    (tested)."""
+    result = incremental_remove(
+        spark, pages.select("url"), warehouse, link_mode=link_mode,
+        n_buckets=n_buckets, compact_appends_after=compact_appends_after,
+    )
+    add = incremental_add(
+        spark, pages, warehouse, link_mode=link_mode, n_buckets=n_buckets,
+        compact_appends_after=compact_appends_after,
+    )
+    result.stages_run += add.stages_run
+    result.stages_skipped += add.stages_skipped
+    result.timings.update(
+        {f"add_{k}" if k in result.timings else k: v
+         for k, v in add.timings.items()}
+    )
+    result.counts.update(add.counts)
+    return result
+
+
 # tables whose append/delete chains the per-batch compaction bounds
 _COMPACTABLE_TABLES = (
     "text", "raw_graph", "units", "nodes_doc", "edges_doc",

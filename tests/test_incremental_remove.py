@@ -317,3 +317,45 @@ def test_pre_epoch_batch_retry_not_double_appended(spark, tmp_path):
     assert "text_append" in retry.stages_skipped
     assert cat.read(spark, "text").count() == n_text
     assert _graph_signature(spark, wh) == sig
+
+
+def test_incremental_update_replaces_content(spark, tmp_path):
+    """incremental_update (the reference's re-upload flow: delete-file
+    then re-process) must leave the graph identical to a from-scratch
+    build where the updated urls carry the NEW content."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import row_number
+
+    from kiwi_spark.pipeline import incremental_update
+
+    wh = str(tmp_path / "wh")
+    wh_ref = str(tmp_path / "ref")
+    all_pages = pages_df(spark, 28, seed=83, partitions=2)
+    keep, to_update = _split(all_pages)
+    assert to_update.count() > 3
+
+    # new content for the updated urls: keep each url but give it ANOTHER
+    # page's html (seed 84 world — different entities/relations)
+    donor = pages_df(spark, 28, seed=84, partitions=2)
+    w = Window.orderBy("url")
+    lhs = to_update.select("url", "warc_ts", "lang").withColumn(
+        "_i", row_number().over(w)
+    )
+    rhs = donor.select(F.col("html").alias("_new_html")).withColumn(
+        "_i", row_number().over(Window.orderBy(F.col("_new_html")))
+    )
+    updated = lhs.join(rhs, "_i").select(
+        "url", "warc_ts", F.col("_new_html").alias("html"),
+        F.lit(None).cast("string").alias("text"), "lang",
+    )
+    updated = updated.localCheckpoint(eager=True)
+
+    run_pipeline(spark, all_pages, wh, collect_lineage=False)
+    result = incremental_update(spark, updated, wh)
+    assert "delta_remove" in result.stages_run
+    assert "delta_relink" in result.stages_run
+
+    run_pipeline(
+        spark, keep.unionByName(updated), wh_ref, collect_lineage=False
+    )
+    assert _graph_signature(spark, wh) == _graph_signature(spark, wh_ref)
