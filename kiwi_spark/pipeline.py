@@ -44,6 +44,20 @@ from .sources.catalog import Catalog
 STAGES = ["text", "raw_graph", "views", "id_map", "graph", "lineage"]
 
 
+def _single_writer(fn):
+    """Serialize mutating entrypoints per warehouse (Catalog.mutation_lock)
+    — the argument order (spark, data, warehouse, ...) is shared by every
+    decorated function."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, data, warehouse, *args, **kwargs):
+        with Catalog(warehouse).mutation_lock():
+            return fn(spark, data, warehouse, *args, **kwargs)
+
+    return wrapper
+
+
 def _parallel_commits(cat: Catalog, jobs: list[tuple]) -> None:
     """Commit independent tables concurrently. Safe because manifests are
     per-table (atomic os.replace flip each); Spark schedules the concurrent
@@ -106,6 +120,7 @@ class PipelineResult:
     counts: dict = field(default_factory=dict)
 
 
+@_single_writer
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -268,6 +283,7 @@ def _check_link_mode(cat: Catalog, link_mode: str) -> None:
         )
 
 
+@_single_writer
 def incremental_add(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -493,6 +509,7 @@ def _auto_compact(spark, cat: Catalog, result: PipelineResult,
         result.stages_run.append("compact")
 
 
+@_single_writer
 def incremental_remove(
     spark: SparkSession,
     urls,

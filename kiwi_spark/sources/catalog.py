@@ -57,6 +57,43 @@ class Catalog:
             json.dump(props, fh, indent=2)
         os.replace(tmp, self._properties_path())  # atomic flip
 
+    # -- single-writer guard ----------------------------------------------
+    def mutation_lock(self):
+        """Exclusive per-warehouse mutation lock (context manager).
+
+        Mutating entrypoints (full run, incremental add/remove) must be
+        serialized per warehouse: batch idempotency keys assume no other
+        mutation lands between a batch's first commit and its completion
+        (e.g. a removal bumping removal_epoch mid-add would orphan the
+        add's retry tag). This is the local-driver stand-in for Iceberg's
+        optimistic commit-conflict detection — flock releases on process
+        death, so a crashed run never wedges the warehouse."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _lock():
+            path = os.path.join(self.warehouse, "MUTATION.lock")
+            fh = open(path, "w")
+            try:
+                fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                fh.close()
+                raise RuntimeError(
+                    f"another mutation is in progress on warehouse "
+                    f"{self.warehouse!r} (single-writer discipline); retry "
+                    "after it completes"
+                ) from None
+            try:
+                fh.write(f"{os.getpid()}\n")
+                fh.flush()
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+                fh.close()
+
+        return _lock()
+
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self.warehouse, table, "MANIFEST.json")

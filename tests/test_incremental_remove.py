@@ -359,3 +359,23 @@ def test_incremental_update_replaces_content(spark, tmp_path):
         spark, keep.unionByName(updated), wh_ref, collect_lineage=False
     )
     assert _graph_signature(spark, wh) == _graph_signature(spark, wh_ref)
+
+
+def test_mutation_lock_serializes_writers(spark, tmp_path):
+    """Round 6: the single-writer discipline is enforced, not just
+    documented — a second mutating entrypoint on a locked warehouse
+    raises instead of interleaving commits (the local-driver stand-in
+    for Iceberg's commit-conflict detection)."""
+    wh = str(tmp_path / "wh")
+    pages = pages_df(spark, 8, seed=89, partitions=2)
+    run_pipeline(spark, pages, wh, collect_lineage=False)
+    cat = Catalog(wh)
+    batch = pages_df(spark, 4, seed=89, partitions=2, start=8)
+    with cat.mutation_lock():
+        with pytest.raises(RuntimeError, match="another mutation"):
+            incremental_add(spark, batch, wh)
+        with pytest.raises(RuntimeError, match="another mutation"):
+            incremental_remove(spark, pages.select("url"), wh)
+    # lock released on exit (and on process death, per flock semantics)
+    result = incremental_add(spark, batch, wh)
+    assert "delta_relink" in result.stages_run
