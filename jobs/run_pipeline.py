@@ -63,10 +63,22 @@ def main() -> int:
              "reference's re-upload flow): remove their urls, then "
              "ingest the new content incrementally",
     )
+    parser.add_argument(
+        "--stream-dir",
+        help="continuous-ingestion mode: drain page parquet files "
+             "arriving in this directory into the warehouse via "
+             "Structured Streaming (foreachBatch → delta relink), "
+             "availableNow trigger (process the backlog, then exit)",
+    )
+    parser.add_argument(
+        "--checkpoint",
+        help="streaming checkpoint location (default: "
+             "<warehouse>/_stream_checkpoint)",
+    )
     args = parser.parse_args()
 
-    if not args.input and not args.synthesize:
-        parser.error("one of --input / --synthesize is required")
+    if not args.input and not args.synthesize and not args.stream_dir:
+        parser.error("one of --input / --synthesize / --stream-dir is required")
 
     spark = (
         SparkSession.builder.appName("kiwi-kg-pipeline")
@@ -89,6 +101,36 @@ def main() -> int:
             "spark.sql.shuffle.partitions",
             str(2 * spark.sparkContext.defaultParallelism),
         )
+
+    if args.stream_dir:
+        from kiwi_spark.pipeline import PipelineResult
+        from kiwi_spark.sources.catalog import Catalog
+        from kiwi_spark.streaming.ingest import stream_ingest
+
+        started = time.time()
+        stream_ingest(
+            spark, args.stream_dir, args.warehouse,
+            args.checkpoint
+            or os.path.join(args.warehouse, "_stream_checkpoint"),
+            link_mode=args.link_mode, n_buckets=args.buckets,
+        )
+        cat = Catalog(args.warehouse)
+        result = PipelineResult(warehouse=args.warehouse)
+        result.stages_run = ["stream_ingest"]
+        for table in ("nodes", "edges", "mentions"):
+            if cat.exists(table):
+                result.counts[table] = cat.read(spark, table).count()
+        wall = time.time() - started
+        n_edges = result.counts.get("edges", 0)
+        print(json.dumps({
+            "wall_seconds": round(wall, 2),
+            "stages_run": result.stages_run,
+            "counts": result.counts,
+            "triples_per_sec": round(n_edges / wall, 2) if wall > 0 else None,
+            "parallelism": spark.sparkContext.defaultParallelism,
+        }))
+        spark.stop()
+        return 0
 
     if args.input:
         pages = spark.read.parquet(os.path.join(args.input, "pages.parquet"))

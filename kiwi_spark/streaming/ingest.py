@@ -1,0 +1,76 @@
+"""Continuous KG ingestion — Structured Streaming over arriving page
+files, folded into the warehouse through the incremental delta relink.
+
+The reference's operating mode IS a stream: files arrive, the worker
+picks each up and folds it into the graph (apps/worker/workflows/
+process-file.ts driven by the process_runs queue). The Spark-first
+restatement uses the FileStreamSource as the arrival queue and
+``foreachBatch`` → ``incremental_add`` as the fold:
+
+* **Exactly-once across restarts** comes from two independent layers:
+  the streaming checkpoint (processed files are never re-read) and the
+  engine's own deterministic batch ids (a replayed micro-batch — e.g.
+  after a crash between the sink commit and the checkpoint write — is
+  recognized by ``batch_appended`` and skipped per table). Either layer
+  alone would suffice; together a crash at ANY point is safe.
+* **Cost per micro-batch** is the delta-relink bound: O(new + touched),
+  not O(warehouse) — the property that makes continuous operation
+  viable at the 100-TB design point.
+* ``availableNow`` drains everything present and stops (the batch-job
+  shape: run from cron, process the backlog, exit); omit it for a
+  long-running continuous fold.
+
+Micro-batches arrive sequentially per query, so the per-warehouse
+single-writer lock is naturally satisfied.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    link_mode: str = "parity",
+    n_buckets: int = 32,
+    available_now: bool = True,
+    max_files_per_batch: int | None = 64,
+):
+    """Fold page files arriving in ``pages_dir`` into ``warehouse``.
+
+    Returns the terminated StreamingQuery (``available_now=True``) or the
+    live query otherwise. ``max_files_per_batch`` bounds each micro-batch
+    (maxFilesPerTrigger) so a large backlog folds in several delta passes
+    instead of one giant one — keeping the touched set, and therefore
+    peak memory and commit size, bounded."""
+    from ..pipeline import incremental_add
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_batch:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_batch))
+    pages = reader.parquet(pages_dir)
+
+    def _fold(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        incremental_add(
+            batch_df.sparkSession, batch_df, warehouse,
+            link_mode=link_mode, n_buckets=n_buckets,
+        )
+
+    writer = (
+        pages.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()

@@ -45,3 +45,61 @@ def test_incremental_equals_full_run(spark, tmp_path):
     cat = Catalog(wh_incr)
     assert cat.read(spark, "text").count() == 50
     assert len(cat.paths("text")) == 2  # fast-append: base + delta dirs
+
+
+def test_stream_ingest_folds_arriving_files(spark, tmp_path):
+    """Structured-Streaming ingestion (round 6): page files arriving in a
+    directory fold into the warehouse via foreachBatch → incremental_add.
+    Draining twice with a checkpoint processes each file exactly once,
+    and the end state equals a from-scratch build on everything that
+    arrived."""
+    from pyspark.sql import functions as F
+
+    from kiwi_spark.sources.catalog import Catalog
+    from kiwi_spark.sources.pages import pages_df
+    from kiwi_spark.streaming.ingest import stream_ingest
+
+    pages_dir = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    wh = str(tmp_path / "wh")
+    wh_ref = str(tmp_path / "ref")
+    import os
+
+    os.makedirs(pages_dir, exist_ok=True)
+
+    first = pages_df(spark, 14, seed=91, partitions=1)
+    first.coalesce(1).write.mode("append").parquet(pages_dir)
+    stream_ingest(spark, pages_dir, wh, ckpt, max_files_per_batch=1)
+    cat = Catalog(wh)
+    n1 = cat.read(spark, "nodes").count()
+    assert n1 > 0
+
+    # second arrival: only the NEW file is processed on the next drain
+    second = pages_df(spark, 10, seed=91, partitions=1, start=14)
+    second.coalesce(1).write.mode("append").parquet(pages_dir)
+    stream_ingest(spark, pages_dir, wh, ckpt, max_files_per_batch=1)
+
+    # a third drain with nothing new is a no-op (checkpoint + batch ids)
+    stream_ingest(spark, pages_dir, wh, ckpt, max_files_per_batch=1)
+
+    run_pipeline(
+        spark, first.unionByName(second), wh_ref, collect_lineage=False
+    )
+    ref = Catalog(wh_ref)
+    got = {
+        (r["entity_id"], r["name"], r["n_sources"], r["description"])
+        for r in cat.read(spark, "nodes").collect()
+    }
+    want = {
+        (r["entity_id"], r["name"], r["n_sources"], r["description"])
+        for r in ref.read(spark, "nodes").collect()
+    }
+    assert got == want
+    assert (
+        cat.read(spark, "edges").count() == ref.read(spark, "edges").count()
+    )
+    # text arrived exactly once per url
+    dup = (
+        cat.read(spark, "text").groupBy("url").count().where(F.col("count") > 1)
+    )
+    assert dup.count() == 0
