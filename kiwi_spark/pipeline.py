@@ -335,6 +335,24 @@ def incremental_add(
             return
         cat.commit(df_builder(), table, stage=stage, append=True, batch_id=batch_id)
 
+    # url-conflict guard: adding a url the warehouse already holds would
+    # silently duplicate its doc rows (the reference's file ids are
+    # unique; a changed file goes through delete + re-process). Skipped
+    # when THIS batch's text rows are already appended — a retry's own
+    # urls are legitimately present. One column-pruned url semi-join.
+    if cat.exists("text") and not cat.batch_appended("text", batch_id):
+        n_dup = (
+            cat.read(spark, "text")
+            .join(new_pages.select("url").distinct(), "url", "leftsemi")
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"{n_dup} of the batch's urls already exist in the "
+                "warehouse; use incremental_update to replace documents "
+                "(or incremental_remove first)"
+            )
+
     started = time.time()
     _append(lambda: extract_text(new_pages), "text", "preprocessing")
     result.timings["text_append"] = round(time.time() - started, 3)

@@ -103,3 +103,27 @@ def test_stream_ingest_folds_arriving_files(spark, tmp_path):
         cat.read(spark, "text").groupBy("url").count().where(F.col("count") > 1)
     )
     assert dup.count() == 0
+
+
+def test_add_of_existing_urls_raises(spark, tmp_path):
+    """Round 6: re-adding urls the warehouse already holds must raise
+    (silent double-ingestion would corrupt n_sources and duplicate doc
+    rows) — while genuine retries of the SAME batch stay idempotent
+    (covered elsewhere) and re-adds after a removal stay legal."""
+    import pytest
+
+    from kiwi_spark.pipeline import incremental_add, incremental_remove
+    from kiwi_spark.sources.pages import pages_df
+
+    wh = str(tmp_path / "wh")
+    pages = pages_df(spark, 12, seed=93, partitions=2)
+    run_pipeline(spark, pages, wh, collect_lineage=False)
+
+    overlapping = pages.limit(4)
+    with pytest.raises(ValueError, match="already exist"):
+        incremental_add(spark, overlapping, wh)
+
+    # after removing them, re-adding is legal again
+    incremental_remove(spark, overlapping.select("url"), wh)
+    result = incremental_add(spark, overlapping, wh)
+    assert "delta_relink" in result.stages_run
