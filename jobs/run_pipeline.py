@@ -102,12 +102,38 @@ def main() -> int:
             str(2 * spark.sparkContext.defaultParallelism),
         )
 
+    # mode validation BEFORE any mode executes: --stream-dir combined
+    # with another mode must be rejected, not silently stream-and-ignore
+    if args.stream_dir and (
+        args.remove or args.update or args.incremental or args.resume
+        or args.input or args.synthesize
+    ):
+        parser.error("--stream-dir is its own ingestion mode; it cannot "
+                     "be combined with --input/--synthesize/--remove/"
+                     "--update/--incremental/--resume")
+    if args.incremental and args.resume:
+        parser.error("--incremental batches are retry-idempotent by "
+                     "batch id; --resume only applies to full runs")
+    if (args.remove or args.update) and (args.incremental or args.resume):
+        parser.error("--remove/--update are their own batch kinds "
+                     "(retry-idempotent); combine with --input/"
+                     "--synthesize only")
+    if args.remove and args.update:
+        parser.error("--remove and --update are mutually exclusive")
+
+    if args.stream_dir:
+        pages = None
+    elif args.input:
+        pages = spark.read.parquet(os.path.join(args.input, "pages.parquet"))
+    else:
+        pages = pages_df(spark, args.synthesize, seed=args.seed, start=args.start)
+
+    started = time.time()
     if args.stream_dir:
         from kiwi_spark.pipeline import PipelineResult
         from kiwi_spark.sources.catalog import Catalog
         from kiwi_spark.streaming.ingest import stream_ingest
 
-        started = time.time()
         stream_ingest(
             spark, args.stream_dir, args.warehouse,
             args.checkpoint
@@ -120,35 +146,7 @@ def main() -> int:
         for table in ("nodes", "edges", "mentions"):
             if cat.exists(table):
                 result.counts[table] = cat.read(spark, table).count()
-        wall = time.time() - started
-        n_edges = result.counts.get("edges", 0)
-        print(json.dumps({
-            "wall_seconds": round(wall, 2),
-            "stages_run": result.stages_run,
-            "counts": result.counts,
-            "triples_per_sec": round(n_edges / wall, 2) if wall > 0 else None,
-            "parallelism": spark.sparkContext.defaultParallelism,
-        }))
-        spark.stop()
-        return 0
-
-    if args.input:
-        pages = spark.read.parquet(os.path.join(args.input, "pages.parquet"))
-    else:
-        pages = pages_df(spark, args.synthesize, seed=args.seed, start=args.start)
-
-    if args.incremental and args.resume:
-        parser.error("--incremental batches are retry-idempotent by "
-                     "batch id; --resume only applies to full runs")
-    if (args.remove or args.update) and (args.incremental or args.resume):
-        parser.error("--remove/--update are their own batch kinds "
-                     "(retry-idempotent); combine with --input/"
-                     "--synthesize only")
-    if args.remove and args.update:
-        parser.error("--remove and --update are mutually exclusive")
-
-    started = time.time()
-    if args.remove:
+    elif args.remove:
         from kiwi_spark.pipeline import incremental_remove
 
         result = incremental_remove(

@@ -45,15 +45,20 @@ STAGES = ["text", "raw_graph", "views", "id_map", "graph", "lineage"]
 
 
 def _single_writer(fn):
-    """Serialize mutating entrypoints per warehouse (Catalog.mutation_lock)
-    — the argument order (spark, data, warehouse, ...) is shared by every
-    decorated function."""
+    """Serialize mutating entrypoints per warehouse (Catalog.mutation_lock).
+    The wrapper binds arguments through the wrapped signature so callers
+    may pass the data/warehouse parameters positionally OR by their
+    documented keyword names."""
     import functools
+    import inspect
+
+    sig = inspect.signature(fn)
 
     @functools.wraps(fn)
-    def wrapper(spark, data, warehouse, *args, **kwargs):
-        with Catalog(warehouse).mutation_lock():
-            return fn(spark, data, warehouse, *args, **kwargs)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        with Catalog(bound.arguments["warehouse"]).mutation_lock():
+            return fn(*args, **kwargs)
 
     return wrapper
 
@@ -291,6 +296,7 @@ def incremental_add(
     link_mode: str = "parity",
     n_buckets: int = 32,
     compact_appends_after: int = APPEND_COMPACT_AFTER,
+    check_conflicts: bool = True,
 ) -> PipelineResult:
     """Incremental ingestion — the reference's operating mode (new files
     arrive, process-file.ts runs per file, then the SQL cross-file dedupe
@@ -314,19 +320,26 @@ def incremental_add(
     _check_link_mode(cat, link_mode)
 
     # deterministic idempotency key: one tiny distributed agg, one driver
-    # row. The key carries the warehouse's removal_epoch so RE-ADDING a
-    # previously removed url is a fresh batch (its rows must append after
-    # the removal's equality deletes, not be skipped as already-appended).
+    # row. The key hashes CONTENT as well as urls — a re-submission of the
+    # same urls with changed html must NOT look like a retry (it would be
+    # silently skipped and the new content lost); instead it gets a fresh
+    # id and the url-conflict guard below rejects it with a pointer to
+    # incremental_update. The key also carries the warehouse's
+    # removal_epoch so RE-ADDING a previously removed url is a fresh
+    # batch (its rows must append after the removal's equality deletes).
     sig = new_pages.agg(
-        F.bit_xor(F.xxhash64("url")).alias("h"), F.count("*").alias("n")
+        F.bit_xor(F.xxhash64("url")).alias("h"),
+        F.bit_xor(F.xxhash64("url", "html")).alias("c"),
+        F.count("*").alias("n"),
     ).first()
     epoch = int(cat.get_property("removal_epoch", 0))
     base_id = f"b{(sig['h'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}-{sig['n']}"
-    batch_id = f"{base_id}-e{epoch}"
+    content = f"{(sig['c'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+    batch_id = f"{base_id}x{content}-e{epoch}"
     if epoch == 0 and cat.batch_appended("text", base_id):
-        # pre-round-6 warehouses tagged batches WITHOUT the epoch suffix;
-        # a retry of such a batch must keep its original id or every
-        # idempotency check would miss and double-append its rows
+        # pre-round-6 warehouses tagged batches WITHOUT the epoch/content
+        # suffix; a retry of such a batch must keep its original id or
+        # every idempotency check would miss and double-append its rows
         batch_id = base_id
 
     def _append(df_builder, table: str, stage: str):
@@ -339,8 +352,16 @@ def incremental_add(
     # silently duplicate its doc rows (the reference's file ids are
     # unique; a changed file goes through delete + re-process). Skipped
     # when THIS batch's text rows are already appended — a retry's own
-    # urls are legitimately present. One column-pruned url semi-join.
-    if cat.exists("text") and not cat.batch_appended("text", batch_id):
+    # urls are legitimately present. Cost: one COLUMN-PRUNED url
+    # semi-join over the text table (broadcast batch side, no shuffle) —
+    # the same narrow-scan class as the delta path's documented
+    # O(warehouse) filter terms; an Iceberg deployment would serve it
+    # from per-file url bloom filters. Producers that guarantee disjoint
+    # arrivals (e.g. stream_ingest after its own conflict split) pass
+    # check_conflicts=False to skip it.
+    if check_conflicts and cat.exists("text") and not cat.batch_appended(
+        "text", batch_id
+    ):
         n_dup = (
             cat.read(spark, "text")
             .join(new_pages.select("url").distinct(), "url", "leftsemi")
@@ -468,20 +489,27 @@ def incremental_update(
     """Replace documents in place — the reference's re-upload flow (a
     changed file is delete-file'd then re-processed; there is no in-place
     mutation in the reference either). Composition of
-    ``incremental_remove(urls)`` + ``incremental_add(pages)``: the
-    removal's epoch bump gives the re-add a fresh batch id, and each leg
-    keeps its own retry idempotency (a crash between the legs resumes by
-    re-running the update — the completed removal replays as a no-op).
-    Result ≡ a from-scratch build where these urls carry the new content
-    (tested)."""
-    result = incremental_remove(
-        spark, pages.select("url"), warehouse, link_mode=link_mode,
-        n_buckets=n_buckets, compact_appends_after=compact_appends_after,
-    )
-    add = incremental_add(
-        spark, pages, warehouse, link_mode=link_mode, n_buckets=n_buckets,
-        compact_appends_after=compact_appends_after,
-    )
+    ``incremental_remove(urls)`` + ``incremental_add(pages)``, executed
+    under ONE mutation lock so no other writer can slip between the legs
+    (a concurrent add of the same urls in that gap would strand the
+    documents removed-but-not-readded until a retry).
+
+    Crash recovery: re-run the update. A crash after the remove leg
+    re-executes the removal as a FRESH batch (the completed leg bumped
+    the epoch) — it finds the urls already masked, touches nothing, and
+    the add leg proceeds; a crash inside either leg replays that leg
+    idempotently by its batch id. Either way the retry converges to the
+    same end state: ≡ a from-scratch build where these urls carry the
+    new content (tested)."""
+    with Catalog(warehouse).mutation_lock():
+        result = incremental_remove.__wrapped__(
+            spark, pages.select("url"), warehouse, link_mode=link_mode,
+            n_buckets=n_buckets, compact_appends_after=compact_appends_after,
+        )
+        add = incremental_add.__wrapped__(
+            spark, pages, warehouse, link_mode=link_mode, n_buckets=n_buckets,
+            compact_appends_after=compact_appends_after,
+        )
     result.stages_run += add.stages_run
     result.stages_skipped += add.stages_skipped
     result.timings.update(

@@ -74,7 +74,10 @@ class Catalog:
         @contextmanager
         def _lock():
             path = os.path.join(self.warehouse, "MUTATION.lock")
-            fh = open(path, "w")
+            # append mode: a LOSING contender must not truncate the
+            # holder's recorded pid (the file's debugging value) before
+            # its own flock attempt fails
+            fh = open(path, "a+")
             try:
                 fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
             except OSError:
@@ -85,6 +88,8 @@ class Catalog:
                     "after it completes"
                 ) from None
             try:
+                fh.seek(0)
+                fh.truncate()
                 fh.write(f"{os.getpid()}\n")
                 fh.flush()
                 yield

@@ -28,9 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-PAGES_SCHEMA = (
-    "url string, warc_ts timestamp, html binary, text string, lang string"
-)
+from ..sources.pages import PAGES_SCHEMA  # single source of the contract
 
 
 def stream_ingest(
@@ -42,6 +40,7 @@ def stream_ingest(
     n_buckets: int = 32,
     available_now: bool = True,
     max_files_per_batch: int | None = 64,
+    on_conflict: str = "update",
 ):
     """Fold page files arriving in ``pages_dir`` into ``warehouse``.
 
@@ -49,8 +48,20 @@ def stream_ingest(
     live query otherwise. ``max_files_per_batch`` bounds each micro-batch
     (maxFilesPerTrigger) so a large backlog folds in several delta passes
     instead of one giant one — keeping the touched set, and therefore
-    peak memory and commit size, bounded."""
-    from ..pipeline import incremental_add
+    peak memory and commit size, bounded.
+
+    ``on_conflict`` decides what happens when a micro-batch carries urls
+    the warehouse already holds (a crawler re-fetching a page is the
+    NORMAL case in continuous operation, so a hard error would wedge the
+    stream forever — the checkpoint replays the same files on every
+    restart): ``"update"`` (default) replaces those documents via the
+    remove+re-add flow, ``"skip"`` drops them, ``"error"`` fails the
+    query (for producers that guarantee disjoint arrivals)."""
+    from ..pipeline import incremental_add, incremental_update
+    from ..sources.catalog import Catalog
+
+    if on_conflict not in ("update", "skip", "error"):
+        raise ValueError("on_conflict must be update | skip | error")
 
     reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_batch:
@@ -60,10 +71,31 @@ def stream_ingest(
     def _fold(batch_df, _batch_id):
         if batch_df.isEmpty():
             return
-        incremental_add(
-            batch_df.sparkSession, batch_df, warehouse,
-            link_mode=link_mode, n_buckets=n_buckets,
-        )
+        sess = batch_df.sparkSession
+        fresh, existing = batch_df, None
+        if on_conflict != "error":
+            cat = Catalog(warehouse)
+            if cat.exists("text"):
+                live_urls = cat.read(sess, "text").select("url")
+                existing = batch_df.join(live_urls, "url", "leftsemi")
+                fresh = batch_df.join(live_urls, "url", "leftanti")
+                if existing.isEmpty():
+                    existing = None
+                    fresh = batch_df
+        if existing is not None and on_conflict == "update":
+            incremental_update(
+                sess, existing, warehouse,
+                link_mode=link_mode, n_buckets=n_buckets,
+            )
+        if not fresh.isEmpty():
+            incremental_add(
+                sess, fresh, warehouse,
+                link_mode=link_mode, n_buckets=n_buckets,
+                # the split above already guaranteed disjoint urls (and in
+                # "error" mode the guard is the point) — skip the second
+                # text scan in the modes that pre-split
+                check_conflicts=(on_conflict == "error"),
+            )
 
     writer = (
         pages.writeStream.foreachBatch(_fold)

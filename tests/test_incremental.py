@@ -127,3 +127,85 @@ def test_add_of_existing_urls_raises(spark, tmp_path):
     incremental_remove(spark, overlapping.select("url"), wh)
     result = incremental_add(spark, overlapping, wh)
     assert "delta_relink" in result.stages_run
+
+
+def test_stream_ingest_reupload_updates_in_place(spark, tmp_path):
+    """Review finding (round 6): a re-delivered file (same urls, NEW
+    content) arriving in the stream must not wedge the query — the
+    default on_conflict='update' replaces those documents via the
+    remove+re-add flow, and the end state equals a from-scratch build on
+    the latest content."""
+    from kiwi_spark.sources.catalog import Catalog
+    from kiwi_spark.sources.pages import pages_df
+    from kiwi_spark.streaming.ingest import stream_ingest
+
+    import os
+
+    pages_dir = str(tmp_path / "arrivals")
+    ckpt = str(tmp_path / "ckpt")
+    wh = str(tmp_path / "wh")
+    wh_ref = str(tmp_path / "ref")
+    os.makedirs(pages_dir, exist_ok=True)
+
+    first = pages_df(spark, 10, seed=95, partitions=1)
+    first.coalesce(1).write.mode("append").parquet(pages_dir)
+    stream_ingest(spark, pages_dir, wh, ckpt)
+
+    # re-deliver the same urls with DIFFERENT html (donor world 96)
+    from pyspark.sql import Window
+    from pyspark.sql.functions import row_number
+
+    donor = pages_df(spark, 10, seed=96, partitions=1)
+    w = Window.orderBy("url")
+    redelivered = (
+        first.select("url", "warc_ts", "lang")
+        .withColumn("_i", row_number().over(w))
+        .join(
+            donor.select(F.col("html").alias("_h")).withColumn(
+                "_i", row_number().over(Window.orderBy("_h"))
+            ),
+            "_i",
+        )
+        .select("url", "warc_ts", F.col("_h").alias("html"),
+                F.lit(None).cast("string").alias("text"), "lang")
+        .localCheckpoint(eager=True)
+    )
+    redelivered.coalesce(1).write.mode("append").parquet(pages_dir)
+    stream_ingest(spark, pages_dir, wh, ckpt)
+
+    run_pipeline(spark, redelivered, wh_ref, collect_lineage=False)
+    cat, ref = Catalog(wh), Catalog(wh_ref)
+    got = {
+        (r["entity_id"], r["name"], r["n_sources"], r["description"])
+        for r in cat.read(spark, "nodes").collect()
+    }
+    want = {
+        (r["entity_id"], r["name"], r["n_sources"], r["description"])
+        for r in ref.read(spark, "nodes").collect()
+    }
+    assert got == want
+
+
+def test_changed_content_same_urls_rejected_not_skipped(spark, tmp_path):
+    """Review finding (round 6): re-submitting the SAME urls with CHANGED
+    html must not be mistaken for a retry (url-only batch ids made it a
+    silent no-op that lost the new content) — the content-aware id gives
+    it a fresh identity and the conflict guard rejects it explicitly."""
+    import pytest
+
+    from kiwi_spark.pipeline import incremental_add
+    from kiwi_spark.sources.pages import pages_df
+
+    wh = str(tmp_path / "wh")
+    base = pages_df(spark, 10, seed=97, partitions=2)
+    batch = pages_df(spark, 6, seed=97, partitions=2, start=10)
+    run_pipeline(spark, base, wh, collect_lineage=False)
+    # keyword-style call must work through the lock wrapper
+    incremental_add(spark, new_pages=batch, warehouse=wh)
+
+    changed = batch.withColumn(
+        "html",
+        F.concat(F.col("html"), F.lit(b"<p>Updated Body Entity.</p>")),
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        incremental_add(spark, changed, wh)

@@ -298,19 +298,21 @@ def test_pre_epoch_batch_retry_not_double_appended(spark, tmp_path):
     sig = _graph_signature(spark, wh)
     n_text = cat.read(spark, "text").count()
 
-    # simulate the pre-round-6 warehouse: strip the epoch suffix from
-    # every batch tag and drop the epoch property
+    # simulate the pre-round-6 warehouse: reduce every add-batch tag to
+    # the legacy url-only form (no content hash, no epoch suffix)
+    def _legacy(bid):
+        if bid.startswith("b") and "x" in bid and bid.endswith("-e0"):
+            return bid.split("x")[0]
+        return bid[: -len("-e0")] if bid.endswith("-e0") else bid
+
     for table in cat.tables():
         path = cat._manifest_path(table)
         manifest = json.load(open(path))
         for snap in manifest["snapshots"]:
-            if snap.get("batch_id", "").endswith("-e0"):
-                snap["batch_id"] = snap["batch_id"][: -len("-e0")]
+            if snap.get("batch_id"):
+                snap["batch_id"] = _legacy(snap["batch_id"])
             if snap.get("batch_ids"):
-                snap["batch_ids"] = [
-                    b[: -len("-e0")] if b.endswith("-e0") else b
-                    for b in snap["batch_ids"]
-                ]
+                snap["batch_ids"] = [_legacy(b) for b in snap["batch_ids"]]
         json.dump(manifest, open(path, "w"))
 
     retry = incremental_add(spark, batch, wh)  # the legacy retry
