@@ -75,6 +75,13 @@ def main() -> int:
         help="streaming checkpoint location (default: "
              "<warehouse>/_stream_checkpoint)",
     )
+    parser.add_argument(
+        "--on-conflict", choices=["update", "skip", "error"],
+        default="update",
+        help="with --stream-dir: what to do when arriving urls already "
+             "exist in the warehouse (update = replace the documents, "
+             "skip = drop them, error = fail the query)",
+    )
     args = parser.parse_args()
 
     if not args.input and not args.synthesize and not args.stream_dir:
@@ -139,6 +146,7 @@ def main() -> int:
             args.checkpoint
             or os.path.join(args.warehouse, "_stream_checkpoint"),
             link_mode=args.link_mode, n_buckets=args.buckets,
+            on_conflict=args.on_conflict,
         )
         cat = Catalog(args.warehouse)
         result = PipelineResult(warehouse=args.warehouse)
