@@ -117,10 +117,17 @@ def _tokens(col: str = "text"):
     )
 
 
-def _shingles(n: int, col: str = "text"):
-    """Word n-gram shingles as an array column (JVM-side)."""
-    tokens = _tokens(col)
-    return F.when(
+def _shingles_of(tokens) -> F.Column:
+    """Word n-gram shingles from an already-bound token array column.
+
+    IMPORTANT (guide §4/interpreted HOFs): ``tokens`` must be a *column
+    reference* to a previously projected array, not the tokenizer
+    expression itself — higher-order-function lambdas re-evaluate every
+    expression subtree they embed once PER ELEMENT, so an inlined
+    regexp-split tokenizer would run ~n_shingles times per document
+    (measured 0.9 s of the sf1 minhash wall; attribute references are
+    O(1) row-field reads)."""
+    return lambda n: F.when(
         F.size(tokens) >= n,
         F.array_distinct(
             F.transform(
@@ -129,6 +136,28 @@ def _shingles(n: int, col: str = "text"):
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+def _shingles(n: int, col: str = "text"):
+    """Word n-gram shingles as an array column (JVM-side).
+
+    Prefer ``_shingle_df`` in operator code: this single-expression form
+    embeds the tokenizer inside the transform lambda, which interpreted
+    HOF evaluation re-runs per shingle (see ``_shingles_of``). It is kept
+    for expression-level call sites (top_shingles / oracle parity)."""
+    return _shingles_of(_tokens(col))(n)
+
+
+def _shingle_df(docs: DataFrame, n: int, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles) with the tokenizer materialized ONCE per row in
+    its own projection so the shingle lambda references an attribute, not
+    the regexp-split subtree (interpreted HOFs re-evaluate embedded
+    subtrees per element — measured ~30× redundant tokenization)."""
+    toks = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks")
+    )
+    return toks.select("doc_id", _shingles_of(F.col("_toks"))(n).alias("shingles"))
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
@@ -171,9 +200,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     shingles. Corpora smaller than the cap (df can't exceed n_docs) are
     unaffected. Pass ``max_shingle_df=None`` for the fully exact quadratic
     run, or use ``minhash_lsh_pairs`` as the scale path."""
-    sh = _spread(docs).select(
-        F.col(id_col).alias("doc_id"), _shingles(n, text_col).alias("shingles")
-    )
+    # one shingle pass feeds sizes + the exploded view (checkpoint barrier);
+    # the pruned exploded set feeds BOTH sides of the pair self-join — the
+    # second barrier stops the planner recomputing the explode+prune
+    # lineage for the broadcast side (same fix as minhash_lsh_pairs)
+    sh = _shingle_df(docs, n, id_col, text_col).localCheckpoint(eager=False)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
@@ -184,6 +215,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
             .select("shingle")
         )
         exploded = exploded.join(keep, "shingle")
+    exploded = exploded.localCheckpoint(eager=False)
     left = exploded.select(F.col("doc_id").alias("doc_a"), "shingle")
     right = exploded.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -223,8 +255,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = DEFAULT_NU
                        id_col: str = "doc_id", text_col: str = "text",
                        seed: int = 7) -> DataFrame:
     """(doc_id, sig array<long>) — k multiply-shift min-hashes, all JVM-side."""
-    exploded = _spread(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(n, text_col)).alias("shingle")
+    exploded = _shingle_df(docs, n, id_col, text_col).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
     return _signatures_from_exploded(exploded, num_hashes, seed)
 
@@ -251,39 +283,64 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                       seed: int = 7) -> DataFrame:
     """MinHash banding → candidate pairs → exact-Jaccard verification.
 
-    band/bucket join keeps the candidate set near-linear; the shingle
-    projection is materialized ONCE (lazy local checkpoint) and reused by
-    both the signature aggregation and the candidate verify join — one
-    tokenize+shingle pass over the corpus, not two.
+    band/bucket join keeps the candidate set near-linear. Two
+    materialization barriers (lazy local checkpoints) pin the plan to one
+    pass per expensive stage:
+
+    * the shingle projection feeds the signature aggregation AND the
+      candidate verify join — one tokenize+shingle pass, not three;
+    * the signature table feeds BOTH sides of the band self-join — without
+      the barrier the planner broadcasts one side and recomputes the whole
+      signature lineage for the other (observed: 2× HashAggregate chains
+      in the r6 plan; guide §2.4 "share one computation").
+
+    Band keys are (band, struct-of-longs) slices of the signature — fixed
+    width, no string materialization, byte-equal semantics to the former
+    comma-joined string key (both are injective on the hash tuple).
+
+    Join strategy notes (measured on the sf1 bench tier, where banding
+    yields ~4.7M raw / 666k distinct candidates over 50k docs):
+
+    * the band self-join runs as a SORT-MERGE join (hint) — both sides are
+      the identical checkpointed subtree, so the single exchange is
+      computed once and reused (guide §2.4); the default broadcast plan
+      builds a ~35 MB hash relation of the banded table and was measured
+      1.4 s slower end-to-end;
+    * the verify step streams the (large) candidate table and broadcasts
+      the (small) per-doc shingle table on both joins — candidates are
+      O(corpus × collision rate), shingles are O(corpus).
     """
     rows_per_band = num_hashes // bands
-    sh = _spread(docs).select(
-        F.col(id_col).alias("doc_id"), _shingles(n, text_col).alias("shingles")
-    ).localCheckpoint(eager=False)
+    sh = _shingle_df(docs, n, id_col, text_col).localCheckpoint(eager=False)
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    sig = _signatures_from_exploded(exploded, num_hashes, seed)
+    sig = _signatures_from_exploded(exploded, num_hashes, seed).localCheckpoint(
+        eager=False
+    )
     banded = sig.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.struct(
+                            *[
+                                F.element_at(
+                                    F.col("sig"), b * rows_per_band + j + 1
+                                ).alias(f"h{j}")
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
     cand = (
         banded.alias("l")
-        .join(banded.alias("r"), ["band", "bucket"])
+        .join(banded.alias("r").hint("merge"), ["band", "bucket"])
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
@@ -291,12 +348,21 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
         .distinct()
     )
 
-    # verify candidates with exact jaccard over the SAME shingle projection
+    # verify candidates with exact jaccard over the SAME shingle projection;
+    # the candidate side streams and the planner broadcasts the shingle
+    # table when it fits (no hard hint: sh is O(corpus), so at warehouse
+    # scale the planner must stay free to fall back to a shuffle join)
     verified = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
-                            F.col("shingles").alias("sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"),
-                        F.col("shingles").alias("sb")), "doc_b")
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"),
+                      F.col("shingles").alias("sb")),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sa", "sb"))
@@ -359,10 +425,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     Hamming ≤3 of 64 bits shares ≥1 of 4 bands), then exact Hamming verify.
 
     Band b covers bit positions [16b, 16b+16) in MSB-first order — integer
-    bits (63-16b)..(48-16b) — matching the DuckDB oracle's bit-list slices."""
+    bits (63-16b)..(48-16b) — matching the DuckDB oracle's bit-list slices.
+
+    The fingerprint table is materialized once (lazy local checkpoint):
+    without the barrier the band self-join's broadcast side recomputes the
+    pandas UDF over the whole corpus (observed: two ArrowEvalPython chains
+    in the r6 plan — the §4.4 duplication plus the self-join recompute)."""
     fp = _spread(docs).select(
         F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("fp")
-    )
+    ).localCheckpoint(eager=False)
     bands = fp.select(
         "doc_id",
         "fp",
@@ -469,9 +540,12 @@ def embedding_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         sketch(planes[i * n_planes : (i + 1) * n_planes], f"b{i}")
         for i in range(n_sketches)
     ]
+    # materialize the sketch projection once — it feeds 4 union legs × 2
+    # self-join sides (8 recomputes of the 32-plane interpreted dot
+    # products without the barrier)
     sk = embeddings.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"), *bucket_cols
-    )
+    ).localCheckpoint(eager=False)
     cands = None
     for bucket in [f"b{i}" for i in range(n_sketches)]:
         c = (
