@@ -161,20 +161,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q5_nation_volume(spark, sf):
+        # join order (guide §3/r7): reduce the fact side FIRST — suppliers
+        # restricted to EUROPE via the broadcast dims, so ~4/5 of lineitem
+        # drops before the orders/customer probes. Inner joins + filters
+        # commute, so the result is provably identical to the textbook
+        # li⋈o⋈c⋈s order (oracle-hash-checked); measured 2.0 → 1.5 s at sf1.
         c = _t(spark, sf, "customer")
         o = _t(spark, sf, "orders")
         li = _t(spark, sf, "lineitem")
         s = _t(spark, sf, "supplier")
         n = _t(spark, sf, "nation")
         r = _t(spark, sf, "region")
-        return (
-            li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .join(c, o["o_custkey"] == c["c_custkey"])
-            .join(s, li["l_suppkey"] == s["s_suppkey"])
-            .where(c["c_nationkey"] == s["s_nationkey"])
-            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        s_eu = (
+            s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
             .where(r["r_name"] == "EUROPE")
+            .select("s_suppkey", "s_nationkey", "n_name")
+        )
+        return (
+            li.join(F.broadcast(s_eu), li["l_suppkey"] == F.col("s_suppkey"))
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .where(c["c_nationkey"] == F.col("s_nationkey"))
             .groupBy("n_name")
             .agg(
                 F.round(

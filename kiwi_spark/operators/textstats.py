@@ -28,6 +28,21 @@ def _tokens(col: str) -> Column:
     )
 
 
+def _with_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, _text, _toks) — the unicode tokenizer materialized ONCE per
+    row in its own projection. The operators below reference the token
+    array several times each (scores, ratios, aggregates); left inline,
+    every reference re-runs the regexp split per row (and HOF lambdas
+    would re-run it per element). CollapseProject keeps the projections
+    separate because ``_toks`` is a non-trivial expression with multiple
+    downstream references."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        _tokens(text_col).alias("_toks"),
+    )
+
+
 def _marker_hits(tokens: Column, markers: list[str]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
@@ -36,9 +51,10 @@ def _marker_hits(tokens: Column, markers: list[str]) -> Column:
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, cjk_ratio) — CJK-char ratio short-circuit for zh,
     else argmax marker-hit count, 'und' when all zero."""
-    tokens = _tokens(text_col)
-    n_chars = F.length(F.col(text_col))
-    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    base = _with_tokens(docs, id_col, text_col)
+    tokens = F.col("_toks")
+    n_chars = F.length(F.col("_text"))
+    cjk = F.length(F.regexp_replace(F.col("_text"), r"[^一-鿿]", ""))
     cjk_ratio = F.when(n_chars > 0, cjk / n_chars).otherwise(F.lit(0.0))
 
     scores = {code: _marker_hits(tokens, markers) for code, markers in LANG_MARKERS.items()}
@@ -49,8 +65,8 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         best = F.when(scores[code] > best_score, F.lit(code)).otherwise(best)
         best_score = F.when(scores[code] > best_score, scores[code]).otherwise(best_score)
     pred = F.when(cjk_ratio > 0.3, F.lit("zh")).otherwise(best)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         pred.alias("lang_pred"),
         F.round(cjk_ratio, 6).alias("cjk_ratio"),
     )
@@ -60,7 +76,8 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     """Per-doc quality features + a composite score (Gopher/C4-style gates):
     word count, mean word length, stopword ratio, distinct-token ratio,
     alnum ratio."""
-    tokens = _tokens(text_col)
+    base = _with_tokens(docs, id_col, text_col)
+    tokens = F.col("_toks")
     n_words = F.size(tokens)
     mean_word_len = F.when(
         n_words > 0,
@@ -72,10 +89,10 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     distinct_ratio = F.when(
         n_words > 0, F.size(F.array_distinct(tokens)) / n_words
     ).otherwise(F.lit(0.0))
-    n_chars = F.length(F.col(text_col))
+    n_chars = F.length(F.col("_text"))
     alnum_ratio = F.when(
         n_chars > 0,
-        F.length(F.regexp_replace(F.col(text_col), r"[^\p{L}\p{N}]", "")) / n_chars,
+        F.length(F.regexp_replace(F.col("_text"), r"[^\p{L}\p{N}]", "")) / n_chars,
     ).otherwise(F.lit(0.0))
     score = (
         F.when((n_words >= 10) & (n_words <= 100000), F.lit(0.25)).otherwise(0.0)
@@ -83,8 +100,8 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         + F.when(distinct_ratio >= 0.1, F.lit(0.25)).otherwise(0.0)
         + F.when(alnum_ratio >= 0.6, F.lit(0.25)).otherwise(0.0)
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         n_words.alias("n_words"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -118,18 +135,29 @@ def doc_fingerprints(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of normalized text (portable exact-dup key)
     + winnowing-style min-hash of k-gram windows (min md5 over all word
-    k-grams — a rolling-window content signature)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    tokens = F.split(norm, " ")
+    k-grams — a rolling-window content signature).
+
+    The normalized text and its token split are materialized in their own
+    projections: the k-gram lambda references the token array per window,
+    and an inlined split-over-regexp subtree would re-run per k-gram
+    (interpreted HOF semantics — same fix as dedup._shingle_df)."""
+    normed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ").alias(
+            "_norm"
+        ),
+    )
+    toks = normed.select("doc_id", "_norm", F.split("_norm", " ").alias("_toks"))
+    tokens = F.col("_toks")
     kgrams = F.when(
         F.size(tokens) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(tokens) - k),
             lambda i: F.md5(F.concat_ws(" ", F.slice(tokens, i + 1, k))),
         ),
-    ).otherwise(F.array(F.md5(norm)))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(norm).alias("md5_fingerprint"),
+    ).otherwise(F.array(F.md5(F.col("_norm"))))
+    return toks.select(
+        "doc_id",
+        F.md5(F.col("_norm")).alias("md5_fingerprint"),
         F.array_min(kgrams).alias("min_kgram_fingerprint"),
     )
