@@ -178,6 +178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(r["r_name"] == "EUROPE")
             .select("s_suppkey", "s_nationkey", "n_name")
         )
+        # orders joins as a shuffled-hash join (guide §3.1): no sort, and no
+        # per-run rebuild of a 1.5M-entry broadcast hash relation; the
+        # fact-fact shuffle is the scale-correct strategy for two tables
+        # that both grow with the corpus
+        o = o.hint("shuffle_hash")
         return (
             li.join(F.broadcast(s_eu), li["l_suppkey"] == F.col("s_suppkey"))
             .join(o, li["l_orderkey"] == o["o_orderkey"])

@@ -44,9 +44,26 @@ def get_spark(
         # entity→canonical map) so fact-side tables never shuffle; on a
         # cluster this is per-executor memory, sized accordingly
         .config("spark.sql.autoBroadcastJoinThreshold", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # guide §3.1/§9: let the planner pick shuffled-hash over sort-merge
+        # when the per-partition build side fits — skips both sort passes;
+        # AQE's local-map threshold enables the same rewrite at runtime
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m"
+        )
+        # local mode hosts every task slot in the one JVM (32 slots here);
+        # 8g gave ~250 MB/slot and visible GC-driven bench variance. Still
+        # env-overridable for cluster drivers, which hold no task state.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # the default 100-entry codegen class cache thrashes in multi-query
+        # sessions (each query compiles ~10 units; a 12-query bench loop
+        # evicts earlier queries' classes, so every re-execution re-compiles
+        # AND re-pays JIT warmup — measured: the dedup band-join stage ran
+        # 6.5 s instead of 4.5 s once its classes had been evicted). Static
+        # conf; a few thousand compiled classes cost low tens of MB.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -164,8 +164,16 @@ def test_remove_retry_idempotent_and_crash_safe(spark, tmp_path, monkeypatch):
     sig = _graph_signature(spark, wh)
     assert sig == _graph_signature(spark, wh_complement)
 
+    # epoch advanced exactly once for the completed batch
+    assert int(Catalog(wh).get_property("removal_epoch", 0)) == 1
+
+    # strict retry idempotency (VERDICT r6 #6): a repeat call with the same
+    # payload is a pure no-op — graph AND warehouse properties (epoch
+    # included) byte-identical
+    props_before = dict(Catalog(wh).properties())
     incremental_remove(spark, drop.select("url"), wh)       # full re-run
     assert _graph_signature(spark, wh) == sig
+    assert dict(Catalog(wh).properties()) == props_before
 
 
 def test_remove_then_readd_roundtrip(spark, tmp_path):
