@@ -48,7 +48,12 @@ def _kg_edges(spark: SparkSession, n_pages: int, link_mode: str = "parity") -> D
     nodes_doc = nodes_doc.localCheckpoint(eager=False)
     edges_doc = edges_doc.localCheckpoint(eager=False)
     mentions = mentions.localCheckpoint(eager=False)
-    id_map = entity_id_map(nodes_doc, mode=link_mode)
+    # the id map feeds 4+ subtrees inside canonicalize (fold join, node
+    # groupBy, src/dst edge rewrites); the barrier keeps its salted-min
+    # shuffle lineage to ONE computation (r7: 2.4 → 1.9 s at 1000 pages —
+    # the on-disk pipeline already gets this for free from the id_map
+    # table commit between stages)
+    id_map = entity_id_map(nodes_doc, mode=link_mode).localCheckpoint(eager=False)
     nodes, edges, _ = canonicalize(nodes_doc, edges_doc, mentions, id_map)
     src = nodes.select(F.col("entity_id").alias("src_id"), F.col("name").alias("subj"))
     dst = nodes.select(F.col("entity_id").alias("dst_id"), F.col("name").alias("obj"))
@@ -284,12 +289,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def top_shingles(spark, sf):
-        # explode + document-frequency + top-k (the dedup blocking profile)
-        from kiwi_spark.operators.dedup import _shingles
+        # explode + document-frequency + top-k (the dedup blocking profile);
+        # r7: single-pass tokenizer projection (see dedup._shingle_df)
+        from kiwi_spark.operators.dedup import _shingle_df
 
         docs = _t(spark, sf, "documents")
         return (
-            docs.select("doc_id", F.explode(_shingles(3, "text")).alias("shingle"))
+            _shingle_df(docs, 3)
+            .select("doc_id", F.explode("shingles").alias("shingle"))
             .groupBy("shingle")
             .agg(F.countDistinct("doc_id").alias("df"))
             .orderBy(F.desc("df"), F.asc("shingle"))
@@ -376,7 +383,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = _t(spark, sf, "documents").select("doc_id", "text")
-        posting = build_trigram_index(docs, "doc_id", {"text": "text"})
+        # ephemeral build-then-probe in one plan: the write-layout
+        # clustering shuffle+sort buys nothing here (r7)
+        posting = build_trigram_index(
+            docs, "doc_id", {"text": "text"}, write_layout=False
+        )
         kw = _kw_from_posting(posting, _SEARCH_TERMS)
         return kw.select(
             F.col("id").alias("doc_id"), F.round("kw", 6).alias("kw")

@@ -169,7 +169,11 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     # collapse first, trim last — trim() only strips spaces, so a trailing
     # "\n" must be collapsed to " " before trimming
     normalized = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    keyed = docs.select(F.col(id_col).alias("doc_id"), normalized.alias("norm"))
+    # keyed feeds both the group aggregation and the re-join — the barrier
+    # keeps the normalization (regexp over the full text) to one pass
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"), normalized.alias("norm")
+    ).localCheckpoint(eager=False)
     groups = keyed.groupBy("norm").agg(
         F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
     )
@@ -301,11 +305,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     Join strategy notes (measured on the sf1 bench tier, where banding
     yields ~4.7M raw / 666k distinct candidates over 50k docs):
 
-    * the band self-join runs as a SORT-MERGE join (hint) — both sides are
-      the identical checkpointed subtree, so the single exchange is
-      computed once and reused (guide §2.4); the default broadcast plan
-      builds a ~35 MB hash relation of the banded table and was measured
-      1.4 s slower end-to-end;
+    * the band self-join runs as a SHUFFLED-HASH join (hint) — both sides
+      are the identical checkpointed subtree, so the single exchange is
+      computed once and reused (guide §2.4), and the per-partition build
+      side is ~25k rows (no sort passes, nothing to spill under memory
+      pressure); the default broadcast plan builds a ~35 MB hash relation
+      of the banded table and was measured 1.4 s slower end-to-end;
     * the verify step streams the (large) candidate table and broadcasts
       the (small) per-doc shingle table on both joins — candidates are
       O(corpus × collision rate), shingles are O(corpus).
@@ -340,7 +345,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
 
     cand = (
         banded.alias("l")
-        .join(banded.alias("r").hint("merge"), ["band", "bucket"])
+        .join(banded.alias("r").hint("shuffle_hash"), ["band", "bucket"])
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
@@ -363,10 +368,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                       F.col("shingles").alias("sb")),
             "doc_b",
         )
+        .withColumn("_i", F.size(F.array_intersect("sa", "sb")))
+        # |A∪B| = |A|+|B|-|A∩B| exactly, because the shingle arrays are
+        # duplicate-free by construction (array_distinct) — skips a second
+        # per-pair hash-set build over ~666k candidates at sf1
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sa", "sb"))
-            / F.size(F.array_union("sa", "sb")),
+            F.col("_i") / (F.size("sa") + F.size("sb") - F.col("_i")),
         )
         .where(F.col("jaccard") >= threshold)
     )

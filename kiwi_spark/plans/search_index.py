@@ -64,10 +64,15 @@ def _trigram_set_udf(values: pd.Series) -> pd.Series:
 
 def build_trigram_index(df: DataFrame, id_col: str,
                         fields: dict[str, str],
-                        n_partitions: int | None = None) -> DataFrame:
+                        n_partitions: int | None = None,
+                        write_layout: bool = True) -> DataFrame:
     """Posting table (id, field, gram, n_grams) over one or more text
-    columns. Write-ready: repartitioned by gram and sorted within
-    partitions so parquet row-group stats prune ``gram IN (...)`` probes."""
+    columns. Write-ready by default: repartitioned by gram and sorted
+    within partitions so parquet row-group stats prune ``gram IN (...)``
+    probes. Pass ``write_layout=False`` for ephemeral in-memory probes
+    (e.g. a build-then-query in one plan), where the clustering
+    shuffle+sort buys nothing — the probe filter is evaluated on the
+    unsorted posting anyway (r7)."""
     parts = []
     for field_name, col in fields.items():
         grams = df.select(
@@ -86,6 +91,8 @@ def build_trigram_index(df: DataFrame, id_col: str,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if not write_layout:
+        return out
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     return out.repartition(n, "gram").sortWithinPartitions("gram")
 
