@@ -289,3 +289,75 @@ def test_events_rollup_uses_expand(spark):
 
     plan = _simple_plan(entrymod.queries()["events_rollup"](spark, SF_DIR))
     assert "Expand" in plan  # one-pass grouping-sets execution
+
+
+# --------------------------------------------------------------------------
+# round-7 optimization pins (OPTIMIZATION_r07.md): one-shot expensive
+# lineage behind checkpoint barriers, single-pass tokenizers, deliberate
+# join strategies
+# --------------------------------------------------------------------------
+
+def test_minhash_band_join_shj_and_no_duplicated_agg_chain(spark):
+    """r7: the band self-join is a (hinted) shuffled-hash join over the
+    checkpointed signature table — the r6 plan broadcast one side and
+    recomputed the whole signature lineage for it (12 HashAggregate nodes;
+    now the signature aggregation lives in the one-shot checkpoint and the
+    visible plan carries only the distinct + per-bucket chains)."""
+    from kiwi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _simple_plan(dedup.minhash_lsh_pairs(docs, n=3, threshold=0.7))
+    assert plan.count("ShuffledHashJoin") == 1
+    assert plan.count("HashAggregate") <= 4
+
+
+def test_simhash_udf_runs_once_behind_checkpoint(spark):
+    """r7: the simhash pandas UDF must not be re-evaluated per self-join
+    side (the r6 plan had two duplicated ArrowEvalPython chains); with the
+    fingerprint checkpoint the visible plan has none — the single UDF pass
+    lives in the checkpoint's one-shot lineage."""
+    from kiwi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted_plan(dedup.simhash_pairs(docs, max_hamming=3))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_textstats_tokenizer_materialized_once(spark):
+    """r7: the unicode tokenizer regexp must appear exactly once in each
+    textstats plan — inline references re-ran the split per expression
+    (and per element inside HOF lambdas)."""
+    from kiwi_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    token_pat = r"[^\p{L}\p{N}]+"
+    for op in (textstats.lang_id, textstats.text_quality):
+        plan = _formatted_plan(op(docs))
+        assert plan.count(token_pat) == 1, op.__name__
+    # doc_fingerprints: whitespace-normalization regexp once (was embedded
+    # in the k-gram lambda → re-evaluated per window)
+    plan = _formatted_plan(textstats.doc_fingerprints(docs))
+    assert plan.count(r"\s+") == 1
+
+
+def test_exact_duplicates_single_normalization_pass(spark):
+    """r7: the normalized-text projection is checkpointed, so the
+    normalization regexp appears in neither join leg of the visible plan
+    (it ran twice in r6 — once per scan)."""
+    from kiwi_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _formatted_plan(dedup.exact_duplicates(docs))
+    assert plan.count(r"\s+") == 0
+
+
+def test_q5_orders_join_is_shuffled_hash(spark):
+    """r7: q5 joins orders as a shuffled-hash join (no sort, no broadcast
+    rebuild of a fact-sized hash relation) after the broadcast
+    supplier-EUROPE reduction."""
+    import __spark_entry__ as entrymod
+
+    plan = _simple_plan(entrymod.queries()["q5_nation_volume"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("BroadcastExchange") >= 3  # n, r, s_eu (+ c)
