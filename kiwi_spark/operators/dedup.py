@@ -266,7 +266,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = DEFAULT_NU
 
 
 def _signatures_from_exploded(exploded: DataFrame, num_hashes: int,
-                              seed: int = 7) -> DataFrame:
+                              seed: int = 7,
+                              with_count: bool = False) -> DataFrame:
     a, b = minhash_params(num_hashes, seed)
     based = exploded.withColumn("base", _minhash_base())
     aggs = [
@@ -275,9 +276,16 @@ def _signatures_from_exploded(exploded: DataFrame, num_hashes: int,
         ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    if with_count:
+        # shingle arrays are array_distinct by construction, so the group's
+        # row count IS size(shingles) — the verify step's size pre-filter
+        # gets its operand for free inside this aggregation
+        aggs.append(F.count("*").alias("n_shingles"))
     sig = based.groupBy("doc_id").agg(*aggs)
+    keep = (["n_shingles"] if with_count else [])
     return sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+        *keep,
     )
 
 
@@ -311,6 +319,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
       side is ~25k rows (no sort passes, nothing to spill under memory
       pressure); the default broadcast plan builds a ~35 MB hash relation
       of the banded table and was measured 1.4 s slower end-to-end;
+    * the lossless size-ratio pre-filter (J(A,B) ≤ min|·|/max|·|) runs as
+      a band-join PREDICATE on two ints carried by the banded rows, so
+      non-viable collisions drop before the candidate distinct's exchange
+      and the verify step never sees them;
     * the verify step streams the (large) candidate table and broadcasts
       the (small) per-doc shingle table on both joins — candidates are
       O(corpus × collision rate), shingles are O(corpus).
@@ -318,11 +330,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     rows_per_band = num_hashes // bands
     sh = _shingle_df(docs, n, id_col, text_col).localCheckpoint(eager=False)
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    sig = _signatures_from_exploded(exploded, num_hashes, seed).localCheckpoint(
-        eager=False
-    )
+    sig = _signatures_from_exploded(
+        exploded, num_hashes, seed, with_count=True
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "doc_id",
+        F.col("n_shingles").alias("n"),
         F.explode(
             F.array(
                 *[
@@ -341,14 +354,31 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "n", "bb.band", "bb.bucket")
 
+    # Provably lossless size pre-filter AS A JOIN PREDICATE: J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|), so any pair failing the size-ratio test
+    # cannot reach the threshold. The shingle count rides on the banded
+    # rows (computed for free inside the signature aggregation), so the
+    # filter runs inside the band join — raw banding collisions drop
+    # BEFORE the distinct's exchange (sf1: 4.7M → ~2.2M rows shuffled)
+    # and the former two candidate×sizes joins disappear outright.
+    # Filter-into-inner-join commutation keeps the output identical.
     cand = (
         banded.alias("l")
-        .join(banded.alias("r").hint("shuffle_hash"), ["band", "bucket"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .join(
+            banded.alias("r").hint("shuffle_hash"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (
+                F.least("l.n", "r.n")
+                >= F.greatest("l.n", "r.n") * F.lit(threshold)
+            ),
+        )
         .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n").alias("na"), F.col("r.n").alias("nb"),
         )
         .distinct()
     )
@@ -357,26 +387,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     # the candidate side streams and the planner broadcasts the shingle
     # table when it fits (no hard hint: sh is O(corpus), so at warehouse
     # scale the planner must stay free to fall back to a shuffle join).
-    #
-    # Provably lossless size pre-filter first: J(A,B) ≤ min(|A|,|B|) /
-    # max(|A|,|B|), so any pair failing the size-ratio test cannot reach
-    # the threshold — candidates drop on two broadcast-joined ints before
-    # the shingle ARRAYS are ever attached (sf1: 666k → 312k pairs,
-    # verify leg ~2× cheaper, identical output).
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    pre = (
-        cand.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-        .where(F.least("na", "nb") >= F.greatest("na", "nb") * threshold)
-    )
     verified = (
-        pre.join(
+        cand.join(
             sh.select(F.col("doc_id").alias("doc_a"),
                       F.col("shingles").alias("sa")),
             "doc_a",
